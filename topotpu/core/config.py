@@ -1,0 +1,106 @@
+"""Typed pipeline configuration.
+
+Parity target: the reference's ``TwxConfig`` INI/env-var path config
+(SURVEY.md §5 "Config/flag system"). Rebuilt as one frozen dataclass covering
+paths, grid spec, static kernel sizes, and mesh shape — everything a pipeline
+stage needs, serializable to/from JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any
+
+from topotpu.core.grid import CELLSIZE_30ARCSEC
+
+
+@dataclasses.dataclass(frozen=True)
+class InterpParams:
+    """Static-shape interpolation parameters (the SURVEY §7 commitment:
+    fixed-size padded neighborhoods; masks fold into weights)."""
+
+    k_neighbors: int = 32          # kriging/GWR neighborhood size (padded max)
+    k_neighbors_anom: int = 32     # GWR daily-anomaly neighborhood size
+    max_tile_stations: int = 512   # per-tile station pool (padded)
+    min_neighbors: int = 3         # below this a cell is flagged, not solved
+    trend_covariates: tuple[str, ...] = ("elev", "tdi", "lst")  # + implicit 1/lon/lat
+    anom_covariates: tuple[str, ...] = ("elev",)                # + implicit 1/lon/lat
+    weight_kernel: str = "bisquare"  # distance kernel for GWR/param interp
+    ridge: float = 1e-6            # normal-equation ridge for f32 conditioning
+    chol_jitter: float = 1e-5      # kriging matrix jitter (fraction of sill)
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class VariogramParams:
+    n_bins: int = 15               # empirical variogram distance bins
+    max_dist_frac: float = 0.5     # bin span as a fraction of max pair distance
+    gn_iters: int = 50             # Gauss-Newton iterations for WLS fit
+    k_fit_neighbors: int = 64      # moving-window neighborhood for per-station fit
+    model: str = "exponential"
+
+
+@dataclasses.dataclass(frozen=True)
+class PPCAParams:
+    n_components: int = 12
+    n_neighbors: int = 24          # correlated predictor stations per target
+    max_iters: int = 200
+    tol: float = 1e-5
+    min_var_ratio: float = 0.05    # variance floor on imputed values
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshParams:
+    """Device-mesh shape for the shard_map tile engine (replaces the
+    reference's mpi4py task farm, SURVEY.md §2 X1)."""
+
+    n_devices: int = 0             # 0 = use all local devices
+    axis_name: str = "cells"       # cells-batch axis sharded over ICI
+    tiles_per_step: int = 1        # tiles batched into one device step
+
+
+@dataclasses.dataclass(frozen=True)
+class TopoConfig:
+    data_dir: str = "data"
+    start_date: str = "1948-01-01"
+    end_date: str = "2016-12-31"
+    cellsize: float = CELLSIZE_30ARCSEC
+    tile_rows: int = 128
+    tile_cols: int = 128
+    interp: InterpParams = dataclasses.field(default_factory=InterpParams)
+    variogram: VariogramParams = dataclasses.field(default_factory=VariogramParams)
+    ppca: PPCAParams = dataclasses.field(default_factory=PPCAParams)
+    mesh: MeshParams = dataclasses.field(default_factory=MeshParams)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TopoConfig":
+        raw: dict[str, Any] = json.loads(text)
+        return cls(
+            **{
+                **raw,
+                "interp": InterpParams(**_tup(raw.get("interp", {}))),
+                "variogram": VariogramParams(**raw.get("variogram", {})),
+                "ppca": PPCAParams(**raw.get("ppca", {})),
+                "mesh": MeshParams(**raw.get("mesh", {})),
+            }
+        )
+
+    @classmethod
+    def load(cls, path: str | pathlib.Path) -> "TopoConfig":
+        return cls.from_json(pathlib.Path(path).read_text())
+
+    def save(self, path: str | pathlib.Path) -> None:
+        pathlib.Path(path).write_text(self.to_json())
+
+
+def _tup(d: dict) -> dict:
+    d = dict(d)
+    for key in ("trend_covariates", "anom_covariates"):
+        if key in d and isinstance(d[key], list):
+            d[key] = tuple(d[key])
+    return d

@@ -1,0 +1,109 @@
+"""Device mesh + SPMD tile interpolation.
+
+Parity target: the reference's entire distributed backend — the mpi4py
+master/worker task farm of ``bin/mpi_*.py`` (SURVEY.md §2 X1: rank 0 hands
+out tile ids over send/recv, rank 1 writes, ranks >=2 loop work items).
+
+TPU-native replacement (SURVEY.md §2 parallelism checklist):
+
+* one ``jax.sharding.Mesh`` over all local devices, single axis ``cells``;
+* a tile's cell batch is sharded over that axis with ``shard_map``; the
+  station pool, being tiny (~KBs), is **replicated** on every device, so the
+  hot path has ZERO cross-device collectives by construction — the TPU
+  analogue of the reference's embarrassingly parallel station farm, but with
+  the parallelism *inside* one XLA program riding ICI instead of MPI;
+* multi-host (DCN) scale-out would wrap the same program in
+  ``jax.distributed.initialize`` + a global mesh; tiles simply shard a
+  bigger cell axis.
+
+The writer rank's job (serializing netCDF output) becomes the host-side
+``TileEngine`` loop in ``topotpu.dist.engine``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from topotpu.core.config import InterpParams
+from topotpu.interp.point import TileInputs, interp_tile
+
+try:  # jax >= 0.6 stabilized shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+CELL_AXIS = "cells"
+
+# TileInputs fields whose leading axis is the cell batch (sharded); all other
+# fields are station-pool arrays (replicated).
+_CELL_FIELDS = ("cell_lon", "cell_lat", "cell_elev", "cell_tdi", "cell_lst", "cell_mask")
+
+
+def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
+    """1-D mesh over local devices; ``cells`` is the sharded axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (CELL_AXIS,))
+
+
+def tile_input_specs() -> TileInputs:
+    """PartitionSpecs per TileInputs field (cells sharded, stations replicated)."""
+    return TileInputs(
+        **{
+            f: P(CELL_AXIS) if f in _CELL_FIELDS else P()
+            for f in TileInputs._fields
+        }
+    )
+
+
+def sharded_interp_tile(mesh: Mesh, params: InterpParams):
+    """Build the jitted SPMD tile-interpolation step for a mesh.
+
+    Returns ``fn(TileInputs) -> TileResult`` where cell-batch inputs must have
+    leading dim divisible by mesh size (the engine pads tiles so this holds).
+    Each device computes its cell shard against the replicated station pool —
+    no collectives are emitted in the hot path (asserted in tests by
+    inspecting the compiled HLO).
+    """
+    in_specs = tile_input_specs()
+    out_specs = _result_specs()
+
+    fn = shard_map(
+        functools.partial(interp_tile, params=params),
+        mesh=mesh,
+        in_specs=(in_specs,),  # one positional arg: the TileInputs pytree
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _result_specs():
+    from topotpu.interp.point import TileResult
+
+    # every TileResult field has the cell axis at position 1: (12, C, ...)
+    return TileResult(
+        normal=P(None, CELL_AXIS),
+        se=P(None, CELL_AXIS),
+        ok=P(None, CELL_AXIS),
+        daily=P(None, CELL_AXIS, None),
+        vario=P(None, CELL_AXIS, None),
+    )
+
+
+def shard_tile_inputs(mesh: Mesh, ti: TileInputs) -> TileInputs:
+    """device_put with the engine's shardings (cells split, stations replicated)."""
+    specs = tile_input_specs()
+    return TileInputs(
+        *(
+            jax.device_put(v, NamedSharding(mesh, s))
+            for v, s in zip(ti, specs)
+        )
+    )

@@ -1,0 +1,209 @@
+"""Tile-level interpolation facade.
+
+Parity target: ``twx/interp/interp_tair.py::PtInterpTair`` (SURVEY.md §2.14)
+— the composition of StationSelect + KrigTair + GwrTairAnom that turns a
+(lon, lat, elev, tdi, lst*) point into 12 monthly normals + sigma and a daily
+series. The reference runs it per point; here the "point" is a whole tile of
+cells (C = tile_rows * tile_cols) and the entire composition is one jit.
+
+Day-axis layout (the static-shape trick for the daily matmul): the host
+groups calendar days by month and pads each month to a fixed ``dpm`` slots
+(31 * nyears), producing station anomalies as (12, S, dpm) plus a (12, dpm)
+day-validity mask. The device then runs one (C x S) @ (S x dpm) matmul per
+month; the host unpermutes afterwards. ~8 % padding FLOPs buys fully static
+shapes — the SURVEY §7 architectural commitment.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from topotpu.core.config import InterpParams
+from topotpu.core.dates import DaysMetadata
+from topotpu.geo.distance import unit_xyz
+from topotpu.geo.neighbors import select_neighbors
+from topotpu.interp.anoms import anomaly_gain_rows, predict_daily, scatter_gains
+from topotpu.interp.normals import krig_normals, NormalsResult
+
+
+class TileInputs(NamedTuple):
+    """Device-facing inputs for one tile. C cells, S (padded) pool stations."""
+
+    cell_lon: jnp.ndarray    # (C,)
+    cell_lat: jnp.ndarray    # (C,)
+    cell_elev: jnp.ndarray   # (C,)
+    cell_tdi: jnp.ndarray    # (C,)
+    cell_lst: jnp.ndarray    # (C, 12)
+    cell_mask: jnp.ndarray   # (C,) land mask
+    stn_lon: jnp.ndarray     # (S,)
+    stn_lat: jnp.ndarray     # (S,)
+    stn_elev: jnp.ndarray    # (S,)
+    stn_tdi: jnp.ndarray     # (S,)
+    stn_lst: jnp.ndarray     # (S, 12)
+    stn_norm: jnp.ndarray    # (S, 12) monthly normals for the variable
+    stn_vario: jnp.ndarray   # (S, 12, 3) nugget/psill/range
+    stn_valid: jnp.ndarray   # (S, 12) bool per-month usability
+    stn_anoms: jnp.ndarray   # (12, S, dpm) month-grouped daily anomalies
+
+
+class TileResult(NamedTuple):
+    normal: jnp.ndarray    # (12, C)
+    se: jnp.ndarray        # (12, C) kriging standard error
+    ok: jnp.ndarray        # (12, C)
+    daily: jnp.ndarray     # (12, C, dpm) daily values, month-grouped layout
+    vario: jnp.ndarray     # (12, C, 3) cell variogram params (diagnostic)
+
+
+def _local_xy_km(lon, lat, ref_lat_deg: float):
+    """Equirectangular local offsets in km — GWR locational covariates."""
+    kx = 111.32 * np.cos(np.deg2rad(ref_lat_deg))
+    ky = 111.32
+    return lon * kx, lat * ky
+
+
+def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
+    """Interpolate every cell x month x day of one tile. Jit this."""
+    C = inputs.cell_lon.shape[0]
+    S = inputs.stn_lon.shape[0]
+    dtype = inputs.cell_lon.dtype
+
+    stn_xyz = unit_xyz(inputs.stn_lon, inputs.stn_lat)  # (S, 3)
+    ref_lat = 38.0  # CONUS mid-latitude; only scales the locational covariates
+    stn_x, stn_y = _local_xy_km(inputs.stn_lon, inputs.stn_lat, ref_lat)
+    cell_x, cell_y = _local_xy_km(inputs.cell_lon, inputs.cell_lat, ref_lat)
+
+    normals, ses, oks, dailies, varios = [], [], [], [], []
+    for m in range(12):
+        nbr = select_neighbors(
+            inputs.cell_lon,
+            inputs.cell_lat,
+            inputs.stn_lon,
+            inputs.stn_lat,
+            inputs.stn_valid[:, m],
+            k=params.k_neighbors,
+        )
+        take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
+
+        # Trend covariates: elev, tdi, lst_m, local x, local y (SURVEY §2.12's
+        # design matrix: elevation + topographic index + monthly LST, with
+        # location entering through the moving window; we add explicit local
+        # x/y so the trend captures in-window gradients too).
+        nbr_cov = jnp.stack(
+            [
+                take(inputs.stn_elev),
+                take(inputs.stn_tdi),
+                take(inputs.stn_lst[:, m]),
+                take(stn_x),
+                take(stn_y),
+            ],
+            axis=-1,
+        )
+        cell_cov = jnp.stack(
+            [
+                inputs.cell_elev,
+                inputs.cell_tdi,
+                inputs.cell_lst[:, m],
+                cell_x,
+                cell_y,
+            ],
+            axis=-1,
+        )
+
+        res: NormalsResult = krig_normals(
+            nbr.dist,
+            nbr.mask,
+            take(stn_xyz),
+            nbr_cov,
+            cell_cov,
+            take(inputs.stn_norm[:, m]),
+            take(inputs.stn_vario[:, m, :]),
+            weight_kernel=params.weight_kernel,
+            ridge=params.ridge,
+            jitter_frac=params.chol_jitter,
+            min_neighbors=params.min_neighbors,
+        )
+
+        # Anomaly GWR gains: simpler design (elev + local x/y), per §2.13.
+        nbr_cov_anom = jnp.stack(
+            [take(inputs.stn_elev), take(stn_x), take(stn_y)], axis=-1
+        )
+        cell_cov_anom = jnp.stack(
+            [inputs.cell_elev, cell_x, cell_y], axis=-1
+        )
+        gains = anomaly_gain_rows(
+            nbr.dist,
+            nbr.mask,
+            nbr_cov_anom,
+            cell_cov_anom,
+            weight_kernel=params.weight_kernel,
+            ridge=params.ridge,
+        )
+        G = scatter_gains(gains, nbr.idx, nbr.mask, S)  # (C, S)
+        anom = predict_daily(G, inputs.stn_anoms[m])     # (C, dpm)
+
+        daily = res.normal[:, None] + anom
+        normals.append(res.normal)
+        ses.append(res.se)
+        oks.append(res.ok & inputs.cell_mask)
+        dailies.append(daily)
+        varios.append(res.vario)
+
+    return TileResult(
+        normal=jnp.stack(normals),
+        se=jnp.stack(ses),
+        ok=jnp.stack(oks),
+        daily=jnp.stack(dailies).astype(dtype),
+        vario=jnp.stack(varios),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side day-axis (calendar <-> month-grouped) layout helpers
+# ---------------------------------------------------------------------------
+
+
+class MonthLayout(NamedTuple):
+    """Mapping between a calendar day axis and the (12, dpm) padded layout."""
+
+    dpm: int                 # padded days-per-month slots
+    slot_of_day: np.ndarray  # (ndays,) flat index into 12*dpm
+    day_valid: np.ndarray    # (12, dpm) bool
+    month_idx: np.ndarray    # (ndays,)
+
+
+def month_layout(days: DaysMetadata) -> MonthLayout:
+    counts = np.zeros(12, dtype=np.int64)
+    slot = np.empty(days.ndays, dtype=np.int64)
+    for i, m in enumerate(days.month_idx):
+        slot[i] = m * 0  # placeholder, set below
+    # per-month running position
+    pos = np.zeros(12, dtype=np.int64)
+    for i, m in enumerate(days.month_idx):
+        slot[i] = pos[m]
+        pos[m] += 1
+    dpm = int(pos.max())
+    flat = days.month_idx.astype(np.int64) * dpm + slot
+    valid = np.zeros((12, dpm), dtype=bool)
+    valid.reshape(-1)[flat] = True
+    counts[:] = pos
+    return MonthLayout(
+        dpm=dpm, slot_of_day=flat, day_valid=valid, month_idx=days.month_idx
+    )
+
+
+def group_days_by_month(series: np.ndarray, layout: MonthLayout) -> np.ndarray:
+    """(..., ndays) calendar -> (..., 12, dpm) padded month-grouped (pads = 0)."""
+    lead = series.shape[:-1]
+    out = np.zeros(lead + (12 * layout.dpm,), dtype=series.dtype)
+    out[..., layout.slot_of_day] = series
+    return out.reshape(lead + (12, layout.dpm))
+
+
+def ungroup_days(grouped: np.ndarray, layout: MonthLayout) -> np.ndarray:
+    """(..., 12, dpm) -> (..., ndays) calendar order."""
+    lead = grouped.shape[:-2]
+    flat = grouped.reshape(lead + (12 * layout.dpm,))
+    return flat[..., layout.slot_of_day]

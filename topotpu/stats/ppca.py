@@ -1,0 +1,183 @@
+"""Batched probabilistic-PCA imputation (EM) for station series infilling.
+
+Parity target: the reference's PPCA infill core — ``twx/infill/infill_daily.py``
+(+ possibly R ``pcaMethods::ppca`` via rpy2) per SURVEY.md §2.8: for each
+target station, a matrix of correlated neighbor series with missing entries is
+completed by an EM loop over a low-rank latent model, yielding
+serially-complete daily series. BASELINE mandates a JAX EM/SVD loop on TPU.
+
+Algorithm (pcaMethods-style EM with iterative re-imputation):
+
+    model: y_t = W z_t + mu + eps,  eps ~ N(0, sigma^2 I)
+    E-step:  Z = X W (W^T W + sigma^2 I)^-1
+    M-step:  W <- S_xz S_zz^-1 ;  sigma^2 <- residual power / (T V)
+    impute:  missing entries of X <- (Z W^T)
+
+Everything is batched over B independent target-station problems at once —
+(B, T, V) tensors, all matmuls MXU-shaped — where the reference runs one
+station per MPI worker. Convergence is a relative change criterion inside
+``lax.while_loop`` (no data-dependent Python control flow).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class PPCAResult(NamedTuple):
+    filled: jnp.ndarray   # (B, T, V) observed kept, missing imputed
+    recon: jnp.ndarray    # (B, T, V) full low-rank reconstruction + mean
+    W: jnp.ndarray        # (B, V, q) loadings
+    mu: jnp.ndarray       # (B, V) per-variable means (masked)
+    sigma2: jnp.ndarray   # (B,) noise variance
+    n_iters: jnp.ndarray  # (B,) -> scalar iterations actually run
+    converged: jnp.ndarray  # (B,) bool
+
+
+def _masked_mean(Y, mask):
+    n = jnp.sum(mask, axis=-2) + 1e-30
+    return jnp.sum(jnp.where(mask, Y, 0.0), axis=-2) / n
+
+
+def ppca_impute(
+    Y: jnp.ndarray,
+    obs_mask: jnp.ndarray,
+    n_components: int,
+    max_iters: int = 200,
+    tol: float = 1e-5,
+) -> PPCAResult:
+    """Impute missing entries of (B, T, V) series batches.
+
+    Args:
+      Y: observations; entries where ``obs_mask`` is False are ignored.
+      obs_mask: (B, T, V) bool, True = observed.
+      n_components: latent dimension q (< V).
+      max_iters / tol: EM stopping — relative change of the imputed entries.
+    """
+    B, T, V = Y.shape
+    q = n_components
+    if q >= V:
+        raise ValueError(f"n_components {q} must be < n_variables {V}")
+    dtype = Y.dtype
+    m = obs_mask.astype(dtype)
+
+    mu = _masked_mean(Y, obs_mask)                    # (B, V)
+    Yc = jnp.where(obs_mask, Y - mu[:, None, :], 0.0)  # centered, missing=0
+
+    # Deterministic init: top-q eigenvectors of the zero-filled covariance.
+    cov = jnp.einsum("btv,btw->bvw", Yc, Yc) / jnp.maximum(
+        jnp.einsum("btv,btw->bvw", m, m), 1.0
+    )
+    evals, evecs = jnp.linalg.eigh(cov)               # ascending
+    top = evecs[..., -q:]                             # (B, V, q)
+    scale = jnp.sqrt(jnp.maximum(evals[..., -q:], 1e-6))
+    W0 = top * scale[..., None, :]
+    sig0 = jnp.maximum(
+        jnp.mean(evals[..., :-q], axis=-1) if V > q else jnp.ones((B,), dtype),
+        1e-6,
+    )
+
+    eyeq = jnp.eye(q, dtype=dtype)
+
+    def em_step(X, W, sig2):
+        # E-step
+        M = jnp.einsum("bvq,bvr->bqr", W, W) + sig2[:, None, None] * eyeq
+        Minv = jnp.linalg.inv(M)
+        Z = jnp.einsum("btv,bvq,bqr->btr", X, W, Minv)  # (B, T, q)
+        # M-step
+        Sxz = jnp.einsum("btv,btq->bvq", X, Z)
+        Szz = (
+            jnp.einsum("btq,btr->bqr", Z, Z)
+            + T * sig2[:, None, None] * Minv
+        )
+        Wn = _solve_right(Sxz, Szz)
+        resid = X - jnp.einsum("btq,bvq->btv", Z, Wn)
+        sig2n = jnp.maximum(jnp.mean(resid**2, axis=(-2, -1)), 1e-8)
+        recon = jnp.einsum("btq,bvq->btv", Z, Wn)
+        return recon, Wn, sig2n
+
+    def cond(state):
+        _, _, _, it, delta = state
+        return (it < max_iters) & (delta > tol)
+
+    def body(state):
+        X, W, sig2, it, _ = state
+        recon, Wn, sig2n = em_step(X, W, sig2)
+        Xn = jnp.where(obs_mask, Yc, recon)
+        denom = jnp.sqrt(jnp.mean(Xn**2) + 1e-12)
+        delta = jnp.sqrt(jnp.mean((Xn - X) ** 2)) / denom
+        return Xn, Wn, sig2n, it + 1, delta
+
+    X0 = Yc
+    state0 = (X0, W0, sig0, jnp.array(0), jnp.array(jnp.inf, dtype=dtype))
+    Xf, Wf, sig2f, iters, delta = lax.while_loop(cond, body, state0)
+
+    reconf, Wf, sig2f = em_step(Xf, Wf, sig2f)
+    recon_full = reconf + mu[:, None, :]
+    filled = jnp.where(obs_mask, Y, recon_full)
+    conv = jnp.full((B,), delta <= tol)
+    return PPCAResult(
+        filled=filled,
+        recon=recon_full,
+        W=Wf,
+        mu=mu,
+        sigma2=sig2f,
+        n_iters=jnp.full((B,), iters),
+        converged=conv,
+    )
+
+
+def _solve_right(Sxz, Szz):
+    """W = Sxz Szz^-1 for (B, V, q) x (B, q, q)."""
+    # Solve Szz^T X^T = Sxz^T  ->  X = (solve(Szz^T, Sxz^T))^T ; Szz symmetric.
+    sol = jnp.linalg.solve(Szz, jnp.swapaxes(Sxz, -1, -2))
+    return jnp.swapaxes(sol, -1, -2)
+
+
+def variance_adjust(
+    filled: jnp.ndarray,
+    obs_mask: jnp.ndarray,
+    month_idx: jnp.ndarray,
+    n_months: int = 12,
+) -> jnp.ndarray:
+    """Rescale imputed values so per-month variance matches observed variance.
+
+    Parity target: the post-infill variance adjustment of
+    ``twx/infill/post_infill.py`` (SURVEY.md §2.8) — imputation shrinks
+    variance toward the low-rank subspace; the reference rescales imputed
+    segments so downstream extremes/variability statistics are unbiased.
+
+    Args:
+      filled: (B, T) target-station series (observed + imputed entries).
+      obs_mask: (B, T) True where the entry was actually observed.
+      month_idx: (T,) 0..11 calendar month of each timestep.
+    """
+    B, T = filled.shape
+    out = filled
+    for mth in range(n_months):
+        in_m = month_idx == mth
+        sel_obs = in_m[None, :] & obs_mask
+        sel_imp = in_m[None, :] & (~obs_mask)
+        n_obs = jnp.sum(sel_obs, axis=1)
+        n_imp = jnp.sum(sel_imp, axis=1)
+
+        mean_obs = jnp.sum(jnp.where(sel_obs, filled, 0.0), axis=1) / jnp.maximum(n_obs, 1)
+        var_obs = jnp.sum(
+            jnp.where(sel_obs, (filled - mean_obs[:, None]) ** 2, 0.0), axis=1
+        ) / jnp.maximum(n_obs - 1, 1)
+        mean_imp = jnp.sum(jnp.where(sel_imp, filled, 0.0), axis=1) / jnp.maximum(n_imp, 1)
+        var_imp = jnp.sum(
+            jnp.where(sel_imp, (filled - mean_imp[:, None]) ** 2, 0.0), axis=1
+        ) / jnp.maximum(n_imp - 1, 1)
+
+        # Only rescale when both sides have enough support.
+        good = (n_obs > 10) & (n_imp > 2) & (var_imp > 1e-8)
+        ratio = jnp.sqrt(jnp.where(good, var_obs / jnp.maximum(var_imp, 1e-8), 1.0))
+        ratio = jnp.clip(ratio, 0.25, 4.0)
+        adj = mean_imp[:, None] + (filled - mean_imp[:, None]) * ratio[:, None]
+        out = jnp.where(sel_imp, adj, out)
+    return out
