@@ -59,6 +59,54 @@ class SyntheticWorld:
         return t + self.resid_field_fn(lon, lat)
 
 
+def tile_inputs_from_world(
+    world: "SyntheticWorld",
+    days_month_idx: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    dtype=np.float32,
+    stn_vario: np.ndarray | None = None,
+):
+    """Build a device-facing TileInputs from a SyntheticWorld (shared by
+    bench.py, __graft_entry__.py and integration tests)."""
+    import jax.numpy as jnp
+
+    from topotpu.core.dates import DaysMetadata
+    from topotpu.interp.point import TileInputs, month_layout, group_days_by_month
+
+    lon, lat = world.grid.cell_lonlat(rows, cols)
+    S = world.n_stations
+    if stn_vario is None:
+        nug, ps, rg = world.true_vario
+        stn_vario = np.tile(np.array([nug, ps, rg], dtype=dtype), (S, 12, 1))
+
+    # minimal DaysMetadata stand-in: layout only needs month_idx
+    class _D:
+        month_idx = days_month_idx
+        ndays = len(days_month_idx)
+
+    layout = month_layout(_D)
+    anoms = group_days_by_month(world.stn_anoms.astype(dtype), layout)
+    ti = TileInputs(
+        cell_lon=jnp.asarray(lon, dtype),
+        cell_lat=jnp.asarray(lat, dtype),
+        cell_elev=jnp.asarray(world.elev[rows, cols], dtype),
+        cell_tdi=jnp.asarray(world.tdi[rows, cols], dtype),
+        cell_lst=jnp.asarray(world.lst[:, rows, cols].T, dtype),
+        cell_mask=jnp.asarray(world.landmask[rows, cols]),
+        stn_lon=jnp.asarray(world.stn_lon, dtype),
+        stn_lat=jnp.asarray(world.stn_lat, dtype),
+        stn_elev=jnp.asarray(world.stn_elev, dtype),
+        stn_tdi=jnp.asarray(world.stn_tdi, dtype),
+        stn_lst=jnp.asarray(world.stn_lst, dtype),
+        stn_norm=jnp.asarray(world.stn_norm, dtype),
+        stn_vario=jnp.asarray(stn_vario, dtype),
+        stn_valid=jnp.ones((S, 12), bool),
+        stn_anoms=jnp.asarray(np.moveaxis(anoms, 1, 0), dtype),
+    )
+    return ti, layout
+
+
 def _smooth2d(a: np.ndarray, iters: int = 12) -> np.ndarray:
     """Cheap separable box smoothing (no scipy dependency needed on host)."""
     for _ in range(iters):
