@@ -1,0 +1,164 @@
+"""Station-series infilling pipeline.
+
+Parity target: ``twx/infill/infill_daily.py`` + the ``bin/mpi_infill_stn_obs``
+driver (SURVEY.md §2.8, §3.2): for every station needing serial completion,
+build a predictor matrix from its most-correlated neighbor series, run PPCA
+imputation over the joint matrix, post-adjust imputed variance, and emit a
+serially-complete daily series plus estimated monthly normals.
+
+TPU-first restructuring: the reference farms one station per MPI worker with
+an R ppca call; here targets are processed in fixed-size device batches —
+(B, T, V) tensors through one jitted EM loop (``topotpu.stats.ppca``), with
+predictor selection done once on-device via a masked correlation matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topotpu.core.config import PPCAParams
+from topotpu.stats.ppca import ppca_impute, variance_adjust
+
+
+@dataclasses.dataclass
+class InfillResult:
+    filled: np.ndarray        # (S, T) serially complete series
+    obs_mask: np.ndarray      # (S, T) original observation mask
+    norms: np.ndarray         # (S, 12) monthly normals from filled series
+    n_iters: np.ndarray       # (S,) EM iterations per target's batch
+    predictors: np.ndarray    # (S, n_neighbors) chosen predictor indices
+    bad: np.ndarray           # (S,) too few obs for a trustworthy infill
+
+
+def masked_correlation(obs: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """(S, T) pairwise station correlation over the *jointly observed* days.
+
+    Computed host-side in f64 (S is ~1e4, T ~2.5e4: one S x S gram via
+    matmuls — cheap on any backend; done in numpy to keep the device free).
+    """
+    m = mask.astype(np.float64)
+    x = np.where(mask, obs, 0.0).astype(np.float64)
+    n = m @ m.T
+    sx = x @ m.T
+    sy = m @ x.T
+    sxy = x @ x.T
+    sxx = (x * x) @ m.T
+    syy = m @ (x * x).T
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) ** 2
+        vy = syy / n - (sy / n) ** 2
+        corr = cov / np.sqrt(vx * vy)
+    corr[n < 30] = 0.0  # require meaningful overlap
+    np.fill_diagonal(corr, 0.0)
+    return np.nan_to_num(corr)
+
+
+def select_predictors(
+    obs: np.ndarray,
+    mask: np.ndarray,
+    n_neighbors: int,
+    stn_lon: np.ndarray | None = None,
+    stn_lat: np.ndarray | None = None,
+) -> np.ndarray:
+    """(S, n_neighbors) indices of the most-correlated predictor stations.
+
+    Mirrors the reference's correlation-ranked neighbor selection
+    (SURVEY.md §3.2 'corr-ranked serially-complete neighbors'). For sparse
+    targets whose observation overlap is too short to estimate correlations
+    (< 30 jointly-observed days), slots fall back to *nearest* stations when
+    coordinates are given — otherwise such a target would get arbitrary
+    predictors and unusable imputations (observed: 8 C MAE on a 95%-missing
+    station before this fallback)."""
+    corr = masked_correlation(obs, mask)
+    score = np.abs(corr)
+    if stn_lon is not None:
+        from topotpu.oracle.numpy_ref import haversine_km
+
+        d = haversine_km(
+            stn_lon[:, None], stn_lat[:, None], stn_lon[None, :], stn_lat[None, :]
+        )
+        np.fill_diagonal(d, np.inf)
+        # proximity as a strictly-weaker tiebreak: any real correlation wins
+        # over any pure-distance candidate
+        prox = 1e-4 / (1.0 + d)
+        score = np.where(score > 0, score + 1.0, prox)
+    order = np.argsort(-score, axis=1)
+    return order[:, :n_neighbors].astype(np.int32)
+
+
+def infill_network(
+    obs: np.ndarray,
+    month_idx: np.ndarray,
+    params: PPCAParams,
+    batch_size: int = 16,
+    stn_lon: np.ndarray | None = None,
+    stn_lat: np.ndarray | None = None,
+    min_obs_days: int = 365,
+) -> InfillResult:
+    """Serially complete an (S, T) obs matrix (NaN = missing).
+
+    Processes targets in device batches of ``batch_size``; each target's
+    predictor matrix is [target | n_neighbors correlated stations]. Stations
+    with fewer than ``min_obs_days`` observations are still imputed but
+    flagged ``bad`` (the reference's BAD station attribute, SURVEY.md §2.3) —
+    downstream interpolation masks them out.
+    """
+    S, T = obs.shape
+    mask = np.isfinite(obs)
+    obs0 = np.where(mask, obs, 0.0).astype(np.float32)
+    preds = select_predictors(obs, mask, params.n_neighbors, stn_lon, stn_lat)
+    bad = mask.sum(axis=1) < min(min_obs_days, T // 2)
+
+    V = 1 + params.n_neighbors
+    filled = np.array(obs0, copy=True)
+    n_iters = np.zeros(S, np.int32)
+
+    fn = jax.jit(
+        lambda Y, M: ppca_impute(
+            Y, M, n_components=min(params.n_components, V - 1),
+            max_iters=params.max_iters, tol=params.tol,
+        ),
+        static_argnames=(),
+    )
+
+    month_idx_j = jnp.asarray(month_idx)
+    pad_to = ((S + batch_size - 1) // batch_size) * batch_size
+    order = np.arange(pad_to) % S  # wrap padding targets
+
+    for start in range(0, pad_to, batch_size):
+        tgt = order[start : start + batch_size]
+        cols = np.concatenate([tgt[:, None], preds[tgt]], axis=1)  # (B, V)
+        Y = obs0[cols].transpose(0, 2, 1)          # (B, T, V)
+        M = mask[cols].transpose(0, 2, 1)
+        res = fn(jnp.asarray(Y), jnp.asarray(M))
+        target_filled = res.filled[..., 0]          # (B, T)
+        target_filled = variance_adjust(
+            target_filled, jnp.asarray(mask[tgt]), month_idx_j
+        )
+        tf = np.asarray(target_filled)
+        filled[tgt] = tf  # wrapped padding targets recompute identically
+        n_iters[tgt] = np.asarray(res.n_iters)
+
+    norms = monthly_normals(filled, month_idx)
+    return InfillResult(
+        filled=filled,
+        obs_mask=mask,
+        norms=norms,
+        n_iters=n_iters,
+        predictors=preds,
+        bad=bad,
+    )
+
+
+def monthly_normals(series: np.ndarray, month_idx: np.ndarray) -> np.ndarray:
+    """(S, T) complete series -> (S, 12) monthly normals."""
+    out = np.zeros((series.shape[0], 12), series.dtype)
+    for m in range(12):
+        sel = month_idx == m
+        out[:, m] = series[:, sel].mean(axis=1)
+    return out

@@ -87,28 +87,22 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
         )
         take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
 
-        # Trend covariates: elev, tdi, lst_m, local x, local y (SURVEY §2.12's
-        # design matrix: elevation + topographic index + monthly LST, with
-        # location entering through the moving window; we add explicit local
-        # x/y so the trend captures in-window gradients too).
+        # Trend covariates: elev, tdi, lst_m only (SURVEY §2.12's design:
+        # elevation + topographic index + monthly LST). Location enters via
+        # the moving-window weights, NOT explicit x/y — the variogram params
+        # were fit to covariate-only-detrended residuals (interp/params.py),
+        # and the kriging trend must match that convention or the residual
+        # field the weights assume would not be the one being kriged.
         nbr_cov = jnp.stack(
             [
                 take(inputs.stn_elev),
                 take(inputs.stn_tdi),
                 take(inputs.stn_lst[:, m]),
-                take(stn_x),
-                take(stn_y),
             ],
             axis=-1,
         )
         cell_cov = jnp.stack(
-            [
-                inputs.cell_elev,
-                inputs.cell_tdi,
-                inputs.cell_lst[:, m],
-                cell_x,
-                cell_y,
-            ],
+            [inputs.cell_elev, inputs.cell_tdi, inputs.cell_lst[:, m]],
             axis=-1,
         )
 

@@ -119,12 +119,12 @@ def interp_tile_oracle(world, cells_rc, k, stn_vario, month_of_day):
     for ci in range(C):
         r, c = rows[ci], cols[ci]
         for m in range(12):
+            # trend design: covariates only (must match interp/point.py)
             stn_cov = np.stack(
-                [world.stn_elev, world.stn_tdi, world.stn_lst[:, m], stn_x, stn_y], 1
+                [world.stn_elev, world.stn_tdi, world.stn_lst[:, m]], 1
             )
             cell_cov = np.array(
-                [world.elev[r, c], world.tdi[r, c], world.lst[m, r, c],
-                 cell_x[ci], cell_y[ci]]
+                [world.elev[r, c], world.tdi[r, c], world.lst[m, r, c]]
             )
             stn_cov_anom = np.stack([world.stn_elev, stn_x, stn_y], 1)
             cell_cov_anom = np.array([world.elev[r, c], cell_x[ci], cell_y[ci]])
