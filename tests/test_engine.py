@@ -1,0 +1,104 @@
+"""BASELINE config #4 in miniature: multi-tile gridded production through the
+TileEngine — tiled netCDF out, manifest resume, accuracy vs ground truth."""
+
+import json
+
+import numpy as np
+import pytest
+
+from topotpu.core.config import TopoConfig, InterpParams, MeshParams
+from topotpu.core.dates import get_days_metadata
+from topotpu.dist.engine import TileEngine, StationSet
+from topotpu.io.ncdf import read_var
+from topotpu.io.rasters import RasterStack
+from topotpu.io.synthetic import make_world
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(21)
+    # 48x48 world -> 4 tiles of 24x24; some ocean
+    world = make_world(rng, nrows=48, ncols=48, n_stations=120, ndays=365,
+                      ocean_frac=0.15)
+    days = get_days_metadata("2015-01-01", "2015-12-31")
+    rasters = RasterStack.from_world(world)
+    nug, ps, rg = world.true_vario
+    stations = StationSet(
+        lon=world.stn_lon, lat=world.stn_lat, elev=world.stn_elev,
+        tdi=world.stn_tdi, lst=world.stn_lst, norm=world.stn_norm,
+        vario=np.tile(np.array([nug, ps, rg], np.float32), (world.n_stations, 12, 1)),
+        valid=np.ones((world.n_stations, 12), bool),
+        anoms=world.stn_anoms.astype(np.float32),
+    )
+    return world, days, rasters, stations
+
+
+def _config():
+    return TopoConfig(
+        tile_rows=24, tile_cols=24,
+        interp=InterpParams(k_neighbors=16, max_tile_stations=128),
+        mesh=MeshParams(n_devices=8),
+    )
+
+
+def test_engine_end_to_end(tmp_path, setup):
+    world, days, rasters, stations = setup
+    eng = TileEngine(_config(), rasters, days, tmp_path / "out")
+    n = eng.run("tmin", stations, progress=False)
+    assert n == 4
+
+    manifest = json.loads((tmp_path / "out" / "manifest.json").read_text())
+    assert len(manifest["tiles"]) == 4
+
+    # read back one tile and score against ground truth
+    spec = eng.tiling.tile(0)
+    f = tmp_path / "out" / "tmin_tile00000.h5"
+    normal = read_var(f, "tmin_normal")   # (12, 24, 24)
+    se = read_var(f, "tmin_se")
+    daily = read_var(f, "tmin")           # (365, 24, 24)
+
+    land = world.landmask[:24, :24]
+    assert np.isfinite(normal[:, land]).all()
+    assert np.isnan(normal[:, ~land]).all()
+    assert np.isfinite(se[:, land]).all()
+
+    rows, cols = np.nonzero(land)
+    lon, lat = world.grid.cell_lonlat(rows, cols)
+    truth = world.true_normal(
+        lon, lat, world.elev[rows, cols], world.tdi[rows, cols],
+        world.lst[6, rows, cols], 7,
+    )
+    mae = np.abs(normal[6][land] - truth).mean()
+    assert mae < 0.5, f"July normals MAE {mae:.3f}"
+
+    # daily = normal + anomaly: check a whole-month mean is close to normal
+    jan = daily[:31][:, land].mean(axis=0)
+    assert np.abs(jan - normal[0][land]).mean() < 1.5
+
+
+def test_engine_resume_skips_completed(tmp_path, setup):
+    world, days, rasters, stations = setup
+    out = tmp_path / "out"
+    eng = TileEngine(_config(), rasters, days, out)
+    assert eng.run("tmin", stations, progress=False) == 4
+
+    # resume: nothing pending
+    eng2 = TileEngine(_config(), rasters, days, out)
+    assert eng2.run("tmin", stations, progress=False) == 0
+
+    # delete one tile file -> only that tile re-runs
+    victim = out / "tmin_tile00001.h5"
+    victim.unlink()
+    eng3 = TileEngine(_config(), rasters, days, out)
+    assert eng3.run("tmin", stations, progress=False) == 1
+    assert victim.exists()
+
+
+def test_engine_separate_variables(tmp_path, setup):
+    world, days, rasters, stations = setup
+    out = tmp_path / "out"
+    eng = TileEngine(_config(), rasters, days, out)
+    assert eng.run("tmin", stations, progress=False) == 4
+    # a second variable is independent work
+    assert eng.run("tmax", stations, progress=False) == 4
+    assert (out / "tmax_tile00003.h5").exists()

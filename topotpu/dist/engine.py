@@ -1,0 +1,275 @@
+"""Production tile engine: host orchestration around the SPMD device step.
+
+Parity target: the reference's gridded-production driver
+``bin/mpi_interp_tair.py`` (SURVEY.md §3.1) — rank 0 queueing tiles, workers
+interpolating cells, a dedicated writer rank serializing netCDF output —
+plus its idempotent-restart behavior (SURVEY.md §5: a crashed run is resumed
+by re-queuing tiles whose output is missing).
+
+TPU-native shape of the same machinery:
+
+* the worker pool is ONE jitted SPMD program over the device mesh
+  (``dist.mesh.sharded_interp_tile``) — tiles stream through it;
+* the writer rank becomes the host thread: the engine runs a 1-deep
+  software pipeline (dispatch tile t, then while the devices compute it,
+  write tile t-1 and prepare tile t+1's inputs) so netCDF IO and host prep
+  overlap device time — the double-buffering SURVEY §7 calls out;
+* restart = a JSON manifest + atomic tile files: every completed tile is
+  recorded after its os.replace; on resume, completed tiles are skipped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from topotpu.core.config import TopoConfig
+from topotpu.core.dates import DaysMetadata
+from topotpu.core.grid import Tiling, TileSpec
+from topotpu.interp.point import (
+    TileInputs,
+    MonthLayout,
+    month_layout,
+    group_days_by_month,
+    ungroup_days,
+)
+from topotpu.io.ncdf import TileWriter
+from topotpu.io.rasters import RasterStack
+from topotpu.utils.status import StatusCheck
+
+
+@dataclasses.dataclass
+class StationSet:
+    """Host-side station arrays for one variable (the serial DB contents)."""
+
+    lon: np.ndarray      # (S,)
+    lat: np.ndarray
+    elev: np.ndarray
+    tdi: np.ndarray
+    lst: np.ndarray      # (S, 12)
+    norm: np.ndarray     # (S, 12)
+    vario: np.ndarray    # (S, 12, 3)
+    valid: np.ndarray    # (S, 12) bool
+    anoms: np.ndarray    # (S, ndays) calendar order, serially complete
+
+    @property
+    def n(self) -> int:
+        return self.lon.shape[0]
+
+
+@dataclasses.dataclass
+class TileTask:
+    spec: TileSpec
+    inputs: TileInputs
+    pool_idx: np.ndarray  # (S_pool,) indices into the full station set
+
+
+class TileEngine:
+    def __init__(
+        self,
+        config: TopoConfig,
+        rasters: RasterStack,
+        days: DaysMetadata,
+        out_dir: str | pathlib.Path,
+        mesh=None,
+        margin_km: float = 250.0,
+    ):
+        self.config = config
+        self.rasters = rasters
+        self.days = days
+        self.layout: MonthLayout = month_layout(days)
+        self.out_dir = pathlib.Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.tiling = Tiling(rasters.grid, config.tile_rows, config.tile_cols)
+        self.margin_km = margin_km
+        self.manifest_path = self.out_dir / "manifest.json"
+        self.manifest = self._load_manifest()
+
+        if mesh is None:
+            from topotpu.dist.mesh import make_mesh
+
+            n_dev = config.mesh.n_devices or len(jax.devices())
+            # mesh size must divide the padded cell count
+            cells = config.tile_rows * config.tile_cols
+            while cells % n_dev:
+                n_dev -= 1
+            mesh = make_mesh(n_dev)
+        self.mesh = mesh
+
+        from topotpu.dist.mesh import sharded_interp_tile, shard_tile_inputs
+
+        self._fn = sharded_interp_tile(mesh, config.interp)
+        self._shard = lambda ti: shard_tile_inputs(mesh, ti)
+
+    # ------------------------------------------------------------- manifest
+    def _load_manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"tiles": {}}
+
+    def _record_tile(self, key: str, info: dict):
+        self.manifest["tiles"][key] = info
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.manifest, indent=0))
+        tmp.replace(self.manifest_path)
+
+    def _tile_key(self, spec: TileSpec, var: str) -> str:
+        return f"{var}_{spec.tile_id:05d}"
+
+    def _tile_file(self, spec: TileSpec, var: str) -> pathlib.Path:
+        return self.out_dir / f"{var}_tile{spec.tile_id:05d}.h5"
+
+    def pending_tiles(self, var: str) -> Iterator[TileSpec]:
+        for ts in self.tiling.land_tiles(self.rasters.landmask):
+            key = self._tile_key(ts, var)
+            done = self.manifest["tiles"].get(key)
+            if done and self._tile_file(ts, var).exists():
+                continue
+            yield ts
+
+    # ------------------------------------------------------------- host prep
+    def prepare(self, spec: TileSpec, stations: StationSet) -> TileTask:
+        import jax.numpy as jnp
+
+        cfg = self.config
+        tr, tc = cfg.tile_rows, cfg.tile_cols
+        elev, tdi, lst, mask = self.rasters.tile_view(
+            spec.row0, spec.col0, spec.nrows, spec.ncols
+        )
+
+        def pad2(a, fill=0.0):
+            out = np.full((tr, tc), fill, a.dtype)
+            out[: spec.nrows, : spec.ncols] = a
+            return out
+
+        rows = np.arange(tr)[:, None].repeat(tc, 1) + spec.row0
+        cols = np.arange(tc)[None, :].repeat(tr, 0) + spec.col0
+        lon, lat = self.rasters.grid.cell_lonlat(rows.ravel(), cols.ravel())
+
+        cell_mask = np.zeros((tr, tc), bool)
+        cell_mask[: spec.nrows, : spec.ncols] = mask
+
+        # station pool: inside the tile bbox + margin, nearest-first cap
+        g = self.rasters.grid
+        lat_c = g.lat0 - (spec.row0 + spec.nrows / 2) * g.cellsize
+        lon_c = g.lon0 + (spec.col0 + spec.ncols / 2) * g.cellsize
+        deg_margin_lat = self.margin_km / 111.32
+        deg_margin_lon = self.margin_km / (111.32 * max(np.cos(np.deg2rad(lat_c)), 0.2))
+        lat_lo = g.lat0 - (spec.row0 + spec.nrows) * g.cellsize - deg_margin_lat
+        lat_hi = g.lat0 - spec.row0 * g.cellsize + deg_margin_lat
+        lon_lo = g.lon0 + spec.col0 * g.cellsize - deg_margin_lon
+        lon_hi = g.lon0 + (spec.col0 + spec.ncols) * g.cellsize + deg_margin_lon
+        in_box = (
+            (stations.lat >= lat_lo)
+            & (stations.lat <= lat_hi)
+            & (stations.lon >= lon_lo)
+            & (stations.lon <= lon_hi)
+        )
+        cand = np.flatnonzero(in_box)
+        cap = self.config.interp.max_tile_stations
+        if len(cand) > cap:
+            d2 = (stations.lon[cand] - lon_c) ** 2 + (stations.lat[cand] - lat_c) ** 2
+            cand = cand[np.argsort(d2)[:cap]]
+        S = cap
+        pool = np.zeros(S, np.int64)
+        pool[: len(cand)] = cand
+        pool_valid = np.zeros((S, 12), bool)
+        pool_valid[: len(cand)] = stations.valid[cand]
+
+        anoms_grouped = group_days_by_month(
+            stations.anoms[pool].astype(np.float32), self.layout
+        )  # (S, 12, dpm)
+
+        dt = np.float32
+        ti = TileInputs(
+            cell_lon=jnp.asarray(lon, dt),
+            cell_lat=jnp.asarray(lat, dt),
+            cell_elev=jnp.asarray(pad2(elev).ravel(), dt),
+            cell_tdi=jnp.asarray(pad2(tdi).ravel(), dt),
+            cell_lst=jnp.asarray(
+                np.stack([pad2(lst[m]) for m in range(12)], -1).reshape(-1, 12), dt
+            ),
+            cell_mask=jnp.asarray(cell_mask.ravel()),
+            stn_lon=jnp.asarray(stations.lon[pool], dt),
+            stn_lat=jnp.asarray(stations.lat[pool], dt),
+            stn_elev=jnp.asarray(stations.elev[pool], dt),
+            stn_tdi=jnp.asarray(stations.tdi[pool], dt),
+            stn_lst=jnp.asarray(stations.lst[pool], dt),
+            stn_norm=jnp.asarray(stations.norm[pool], dt),
+            stn_vario=jnp.asarray(stations.vario[pool], dt),
+            stn_valid=jnp.asarray(pool_valid),
+            stn_anoms=jnp.asarray(np.moveaxis(anoms_grouped, 1, 0), dt),
+        )
+        return TileTask(spec=spec, inputs=ti, pool_idx=pool)
+
+    # ------------------------------------------------------------- writing
+    def _write_tile(self, spec: TileSpec, var: str, result) -> None:
+        cfg = self.config
+        tr, tc = cfg.tile_rows, cfg.tile_cols
+        nr, nc = spec.nrows, spec.ncols
+
+        normal = np.asarray(result.normal).reshape(12, tr, tc)[:, :nr, :nc]
+        se = np.asarray(result.se).reshape(12, tr, tc)[:, :nr, :nc]
+        ok = np.asarray(result.ok).reshape(12, tr, tc)[:, :nr, :nc]
+        daily_g = np.asarray(result.daily)  # (12, C, dpm)
+        daily = ungroup_days(daily_g.transpose(1, 0, 2), self.layout)
+        daily = daily.reshape(tr, tc, -1).transpose(2, 0, 1)[:, :nr, :nc]
+
+        land = self.rasters.landmask[
+            spec.row0 : spec.row0 + nr, spec.col0 : spec.col0 + nc
+        ]
+        okm = ok & land[None, :, :]
+        normal = np.where(okm, normal, np.nan)
+        se = np.where(okm, se, np.nan)
+        daily = np.where(okm.all(0)[None, :, :], daily, np.nan)
+
+        sub = self.rasters.grid.subgrid(spec.row0, spec.col0, nr, nc)
+        with TileWriter(self._tile_file(spec, var), sub, self.days.date64) as w:
+            w.write_daily(var, daily, long_name=f"daily {var}")
+            w.write_monthly(f"{var}_normal", normal, long_name="monthly normal")
+            w.write_monthly(f"{var}_se", se, long_name="kriging standard error")
+        self._record_tile(
+            self._tile_key(spec, var),
+            {
+                "file": self._tile_file(spec, var).name,
+                "cells": int(land.sum()),
+                "ok_cells": int(okm.all(0).sum()),
+                "ts": time.time(),
+            },
+        )
+
+    # ------------------------------------------------------------- main loop
+    def run(self, var: str, stations: StationSet, progress: bool = True) -> int:
+        """Interpolate all pending tiles for one variable. Returns #tiles."""
+        pending = list(self.pending_tiles(var))
+        status = StatusCheck(
+            total=len(pending), unit="tiles", enabled=progress,
+            items_per=self.config.tile_rows * self.config.tile_cols,
+        )
+        inflight: tuple[TileSpec, object] | None = None
+        n_done = 0
+        it = iter(pending)
+        next_spec = next(it, None)
+        task = self.prepare(next_spec, stations) if next_spec else None
+        while task is not None:
+            fut = self._fn(self._shard(task.inputs))  # async dispatch
+            cur_spec = task.spec
+            # overlap: prep next + drain previous while devices compute
+            next_spec = next(it, None)
+            task = self.prepare(next_spec, stations) if next_spec else None
+            if inflight is not None:
+                self._write_tile(inflight[0], var, inflight[1])
+                n_done += 1
+                status.tick()
+            inflight = (cur_spec, fut)
+        if inflight is not None:
+            self._write_tile(inflight[0], var, inflight[1])
+            n_done += 1
+            status.tick()
+        return n_done

@@ -1,0 +1,50 @@
+"""Progress/throughput reporting.
+
+Parity target: ``twx/utils/status_check.py::StatusCheck`` (SURVEY.md §2.17,
+§5) — the reference's only observability: a counter printing items/sec every
+N ticks. Kept, plus a cells/sec figure since that is the BASELINE headline
+metric.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+class StatusCheck:
+    def __init__(
+        self,
+        total: int,
+        unit: str = "items",
+        every: int = 1,
+        enabled: bool = True,
+        items_per: int = 1,
+        out=sys.stderr,
+    ):
+        self.total = total
+        self.unit = unit
+        self.every = every
+        self.enabled = enabled
+        self.items_per = items_per  # e.g. cells per tile, for cells/sec
+        self.out = out
+        self.count = 0
+        self.t0 = time.perf_counter()
+
+    def tick(self, n: int = 1):
+        self.count += n
+        if self.enabled and self.count % self.every == 0:
+            dt = time.perf_counter() - self.t0
+            rate = self.count / max(dt, 1e-9)
+            msg = (
+                f"[status] {self.count}/{self.total} {self.unit} "
+                f"({rate:.2f} {self.unit}/s"
+            )
+            if self.items_per > 1:
+                msg += f", {rate * self.items_per:,.0f} cells/s"
+            msg += f", {dt:.1f}s elapsed)"
+            print(msg, file=self.out, flush=True)
+
+    @property
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
