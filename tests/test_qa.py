@@ -1,0 +1,87 @@
+"""QA suite tests: each check must catch planted defects and leave clean
+data unflagged (the reference validated its port against GHCN-D published
+flags; here the oracle is defect injection on synthetic data)."""
+
+import numpy as np
+import pytest
+
+from topotpu.core import constants as C
+from topotpu.core.dates import get_days_metadata
+from topotpu.io.synthetic import make_world
+from topotpu.qa import run_qa_non_spatial, run_qa_spatial, check_elevation
+from topotpu.io.rasters import RasterStack
+
+
+@pytest.fixture(scope="module")
+def network():
+    rng = np.random.default_rng(13)
+    world = make_world(rng, nrows=40, ncols=40, n_stations=30, ndays=1461)
+    days = get_days_metadata("2012-01-01", "2015-12-31")
+    S = world.n_stations
+    tmin = (
+        world.stn_norm[np.arange(S)[:, None], days.month_idx[None, :]]
+        + world.stn_anoms
+    ).astype(np.float32)
+    tmax = tmin + 10.0 + 1.5 * rng.standard_normal(tmin.shape).astype(np.float32)
+    return world, days, tmin, tmax
+
+
+def test_clean_data_mostly_unflagged(network):
+    world, days, tmin, tmax = network
+    ft, fx = run_qa_non_spatial(tmin, tmax, days)
+    # clean synthetic data: < 0.1% false positives
+    assert (ft != C.QA_OK).mean() < 1e-3
+    assert (fx != C.QA_OK).mean() < 1e-3
+
+
+def test_planted_defects_caught(network):
+    world, days, tmin, tmax = network
+    tmin = tmin.copy()
+    tmax = tmax.copy()
+
+    tmin[0, 100] = 99.0                      # world record
+    tmax[1, 200] = -120.0
+    tmin[2, 300:330] = 5.0                   # 30-day streak
+    tmin[3, 400] = tmax[3, 400] + 5.0        # tmax < tmin
+    tmax[4, 500] += 30.0                     # spike vs both neighbors
+    # duplicated year: copy 2012 into 2013
+    y12 = days.year == 2012
+    y13 = days.year == 2013
+    tmin[5, np.flatnonzero(y13)[:365]] = tmin[5, np.flatnonzero(y12)[:365]]
+
+    ft, fx = run_qa_non_spatial(tmin, tmax, days)
+    assert ft[0, 100] == C.QA_IMPOSS_VALUE
+    assert fx[1, 200] == C.QA_IMPOSS_VALUE
+    assert (ft[2, 300:330] == C.QA_STREAK).all()
+    assert ft[3, 400] == C.QA_INTERNAL and fx[3, 400] == C.QA_INTERNAL
+    assert fx[4, 500] in (C.QA_SPIKE_DIP, C.QA_CLIM_OUTLIER, C.QA_GAP)
+    assert (ft[5, y13] == C.QA_DUP_YEAR).sum() > 300
+    # untouched stations stay clean
+    assert (ft[10:] != C.QA_OK).mean() < 1e-3
+
+
+def test_spatial_regression_catches_isolated_error(network):
+    world, days, tmin, _ = network
+    tmin = tmin.copy()
+    ft = np.full(tmin.shape, C.QA_OK, np.uint8)
+    # a 15C error on one day at one station, neighbors normal
+    tmin[7, 600] += 15.0
+    ft = run_qa_spatial(tmin, ft, world.stn_lon, world.stn_lat, days,
+                        max_dist_km=300.0)
+    assert ft[7, 600] == C.QA_SPATIAL_REGRESS
+    # the same-day values at other stations survive
+    assert (ft[:, 600] != C.QA_OK).sum() <= 2
+
+
+def test_elevation_check(network):
+    world, _, _, _ = network
+    rasters = RasterStack.from_world(world)
+    elev = world.stn_elev.copy()
+    elev[3] += 1500.0  # wrong by 1.5 km
+    bad, dem = check_elevation(rasters, world.stn_lon, world.stn_lat, elev)
+    assert bad[3]
+    assert bad.sum() == 1
+    from topotpu.qa.qa_location import fix_elevation
+
+    fixed = fix_elevation(elev, bad, dem)
+    assert abs(fixed[3] - world.stn_elev[3]) < 60.0

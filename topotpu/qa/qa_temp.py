@@ -1,0 +1,348 @@
+"""Station-observation quality assurance.
+
+Parity target: ``twx/qa/qa_temp.py`` (SURVEY.md §2.5) — the reference's
+Python port of the GHCN-Daily QA suite (Durre et al. 2010, J. Appl. Meteor.
+Climatol. 49: "Comprehensive automated quality assurance of daily surface
+observations"). Implemented checks (flag codes in topotpu.core.constants):
+
+non-spatial (per station):
+  * duplicate-year / duplicate-month series
+  * tmin-series-duplicates-tmax within a month
+  * world-record exceedance
+  * repeated-value streaks
+  * gap check in the sorted monthly distribution
+  * internal consistency (tmax < tmin; monthly mega-consistency)
+  * spike/dip (swing vs both neighbors)
+  * climatological z-score outlier (biweight day-of-year climatology)
+
+spatial (needs neighbors):
+  * spatial regression corroboration (weighted neighbor estimate residual,
+    confirmed against nearest-neighbor anomaly differences)
+
+This stage stays on host (SURVEY.md §3.4): numpy over (S, T) matrices, a
+few seconds for the full network — not a TPU-shaped workload.
+
+Flags are "sticky worst": a value once flagged by an earlier check is
+excluded from later statistics, mirroring the reference's sequential
+application order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from topotpu.core import constants as C
+from topotpu.core.dates import DaysMetadata
+
+WORLD_RECORD_MAX = 57.7    # Death Valley 1913, deg C
+WORLD_RECORD_MIN = -89.4   # Vostok; far below any CONUS value
+STREAK_LEN = 20
+GAP_THRESHOLD = 10.0       # deg C gap in sorted monthly values
+SPIKE_THRESHOLD = 25.0     # deg C swing against both neighbors
+ZSCORE_THRESHOLD = 6.0     # climatological outlier
+SPATIAL_RESID_THRESHOLD = 8.0   # deg C regression residual
+SPATIAL_CORROB_THRESHOLD = 10.0  # deg C anomaly-difference corroboration
+
+
+def _biweight(x: np.ndarray, axis=None, c: float = 7.5):
+    """Biweight mean/std (Durre's robust climatology estimator).
+
+    NaN-aware. Returns (mean, std)."""
+    med = np.nanmedian(x, axis=axis, keepdims=True)
+    mad = np.nanmedian(np.abs(x - med), axis=axis, keepdims=True)
+    mad = np.where(mad < 1e-6, 1e-6, mad)
+    u = (x - med) / (c * mad)
+    w = np.where(np.abs(u) < 1.0, (1.0 - u**2) ** 2, 0.0)
+    w = np.where(np.isnan(x), 0.0, w)
+    xz = np.where(np.isnan(x), 0.0, x)
+    denom = np.sum(w, axis=axis, keepdims=True)
+    denom = np.where(denom <= 0, 1.0, denom)
+    bw_mean = med + np.sum(w * (xz - med), axis=axis, keepdims=True) / denom
+    var = np.sum(w * (xz - bw_mean) ** 2, axis=axis, keepdims=True) / denom
+    bw_std = np.sqrt(np.maximum(var, 1e-12))
+    if axis is None:
+        return float(bw_mean), float(bw_std)
+    return np.squeeze(bw_mean, axis=axis), np.squeeze(bw_std, axis=axis)
+
+
+def _flag(flags, where, code):
+    """Set code where condition holds and not already flagged."""
+    flags[np.asarray(where) & (flags == C.QA_OK)] = code
+
+
+def _valid(obs, flags):
+    return np.isfinite(obs) & (flags == C.QA_OK)
+
+
+# ------------------------------------------------------------------ checks
+
+
+def check_world_records(obs, flags):
+    _flag(flags, np.isfinite(obs) & ((obs > WORLD_RECORD_MAX) | (obs < WORLD_RECORD_MIN)),
+          C.QA_IMPOSS_VALUE)
+
+
+def check_streaks(obs, flags):
+    """>= STREAK_LEN identical consecutive (observed) values."""
+    S, T = obs.shape
+    for s in range(S):
+        v = obs[s]
+        ok = np.isfinite(v)
+        # run-length encode over observed values only
+        idx = np.flatnonzero(ok)
+        if len(idx) < STREAK_LEN:
+            continue
+        vals = v[idx]
+        change = np.flatnonzero(np.diff(vals) != 0) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(vals)]])
+        for a, b in zip(starts, ends):
+            if b - a >= STREAK_LEN:
+                flags[s, idx[a:b]] = np.where(
+                    flags[s, idx[a:b]] == C.QA_OK, C.QA_STREAK, flags[s, idx[a:b]]
+                )
+
+
+def check_duplicate_years(obs, flags, days: DaysMetadata):
+    """Two calendar years with identical observed series (>= 180 common
+    observed days, all equal) -> both years flagged."""
+    years = days.years
+    S = obs.shape[0]
+    ymasks = [days.year == y for y in years]
+    for s in range(S):
+        series = [np.where(ymasks[i], obs[s], np.nan)[ymasks[i]][:365] for i in range(len(years))]
+        for i in range(len(years)):
+            for j in range(i + 1, len(years)):
+                a, b = series[i], series[j]
+                n = min(len(a), len(b))
+                a, b = a[:n], b[:n]
+                both = np.isfinite(a) & np.isfinite(b)
+                if both.sum() >= 180 and np.array_equal(a[both], b[both]):
+                    for m, ym in ((i, ymasks[i]), (j, ymasks[j])):
+                        f = flags[s, ym]
+                        f[f == C.QA_OK] = C.QA_DUP_YEAR
+                        flags[s, ym] = f
+
+
+def check_duplicate_months(obs, flags, days: DaysMetadata):
+    """Identical observed series in the same month of different years."""
+    S = obs.shape[0]
+    keys = days.year * 100 + days.month
+    uniq = np.unique(keys)
+    month_of = {k: int(k % 100) for k in uniq}
+    slices = {k: np.flatnonzero(keys == k) for k in uniq}
+    for s in range(S):
+        by_month: dict[int, list] = {}
+        for k in uniq:
+            sl = slices[k]
+            v = obs[s, sl]
+            if np.isfinite(v).sum() >= 20:
+                by_month.setdefault(month_of[k], []).append((k, sl, v))
+        for m, entries in by_month.items():
+            for i in range(len(entries)):
+                for j in range(i + 1, len(entries)):
+                    _, sl_i, vi = entries[i]
+                    _, sl_j, vj = entries[j]
+                    n = min(len(vi), len(vj))
+                    a, b = vi[:n], vj[:n]
+                    both = np.isfinite(a) & np.isfinite(b)
+                    if both.sum() >= 20 and np.array_equal(a[both], b[both]):
+                        for sl in (sl_i, sl_j):
+                            f = flags[s, sl]
+                            f[f == C.QA_OK] = C.QA_DUP_YEAR_MONTH
+                            flags[s, sl] = f
+
+
+def check_tmax_dup_tmin(tmax, tmin, flags_tmax, flags_tmin, days: DaysMetadata):
+    """tmax series identical to tmin series within a calendar month."""
+    keys = days.year * 100 + days.month
+    for k in np.unique(keys):
+        sl = keys == k
+        a, b = tmax[:, sl], tmin[:, sl]
+        both = np.isfinite(a) & np.isfinite(b)
+        enough = both.sum(axis=1) >= 20
+        eq = np.array(
+            [enough[s] and np.array_equal(a[s][both[s]], b[s][both[s]]) for s in range(a.shape[0])]
+        )
+        for s in np.flatnonzero(eq):
+            for fl in (flags_tmax, flags_tmin):
+                f = fl[s, sl]
+                f[f == C.QA_OK] = C.QA_DUP_WITHIN_MONTH
+                fl[s, sl] = f
+
+
+def check_internal_consistency(tmax, tmin, flags_tmax, flags_tmin):
+    bad = (
+        np.isfinite(tmax) & np.isfinite(tmin)
+        & (flags_tmax == C.QA_OK) & (flags_tmin == C.QA_OK)
+        & (tmax < tmin)
+    )
+    _flag(flags_tmax, bad, C.QA_INTERNAL)
+    _flag(flags_tmin, bad, C.QA_INTERNAL)
+
+
+def check_mega_consistency(tmax, tmin, flags_tmax, flags_tmin, days: DaysMetadata):
+    """Monthly max(tmax) < monthly min(tmin) -> whole month inconsistent."""
+    keys = days.year * 100 + days.month
+    for k in np.unique(keys):
+        sl = keys == k
+        a = np.where(_valid(tmax[:, sl], flags_tmax[:, sl]), tmax[:, sl], np.nan)
+        b = np.where(_valid(tmin[:, sl], flags_tmin[:, sl]), tmin[:, sl], np.nan)
+        has_a = np.isfinite(a).any(axis=1)
+        has_b = np.isfinite(b).any(axis=1)
+        amax = np.where(has_a, np.nanmax(np.where(np.isfinite(a), a, -np.inf), axis=1), np.nan)
+        bmin = np.where(has_b, np.nanmin(np.where(np.isfinite(b), b, np.inf), axis=1), np.nan)
+        with np.errstate(invalid="ignore"):
+            bad = amax < bmin
+        bad = np.nan_to_num(bad.astype(float)).astype(bool) & has_a & has_b
+        for s in np.flatnonzero(bad):
+            for fl, o in ((flags_tmax, tmax), (flags_tmin, tmin)):
+                f = fl[s, sl]
+                f[(f == C.QA_OK) & np.isfinite(o[s, sl])] = C.QA_MEGA
+                fl[s, sl] = f
+
+
+def check_spike_dip(obs, flags):
+    v = np.where(_valid(obs, flags), obs, np.nan)
+    d_prev = np.abs(np.diff(v, axis=1, prepend=np.nan))
+    d_next = np.abs(np.diff(v[:, ::-1], axis=1, prepend=np.nan))[:, ::-1]
+    bad = (d_prev > SPIKE_THRESHOLD) & (d_next > SPIKE_THRESHOLD)
+    _flag(flags, np.nan_to_num(bad.astype(float)).astype(bool), C.QA_SPIKE_DIP)
+
+
+def check_gap(obs, flags, days: DaysMetadata):
+    """Sorted monthly climatological distribution: values beyond a
+    > GAP_THRESHOLD gap from the median side are flagged."""
+    S = obs.shape[0]
+    for m in range(1, 13):
+        sl = days.month == m
+        v = np.where(_valid(obs[:, sl], flags[:, sl]), obs[:, sl], np.nan)
+        med = np.nanmedian(v, axis=1)
+        for s in range(S):
+            x = v[s]
+            fin = np.isfinite(x)
+            if fin.sum() < 30:
+                continue
+            xs = np.sort(x[fin])
+            gaps = np.diff(xs)
+            big = np.flatnonzero(gaps > GAP_THRESHOLD)
+            if len(big) == 0:
+                continue
+            cut_lo, cut_hi = -np.inf, np.inf
+            for g in big:
+                if xs[g] < med[s]:
+                    # gap below the median: values at or below xs[g] are cut;
+                    # innermost gap (closest to median) wins
+                    cut_lo = max(cut_lo, xs[g + 1] - 1e-9)
+                else:
+                    # gap above the median: values at or beyond xs[g+1] are cut
+                    cut_hi = min(cut_hi, xs[g] + 1e-9)
+            bad = fin & ((x < cut_lo) | (x > cut_hi))
+            f = flags[s, sl]
+            f[bad & (f == C.QA_OK)] = C.QA_GAP
+            flags[s, sl] = f
+
+
+def check_clim_outlier(obs, flags, days: DaysMetadata):
+    """|z| > 6 against a 15-day-window biweight day-of-year climatology."""
+    S, T = obs.shape
+    v = np.where(_valid(obs, flags), obs, np.nan)
+    doy = days.yday
+    max_doy = 366
+    clim_mean = np.full((S, max_doy + 1), np.nan)
+    clim_std = np.full((S, max_doy + 1), np.nan)
+    for d in range(1, max_doy + 1):
+        lo, hi = d - 7, d + 7
+        win = ((doy >= lo) & (doy <= hi)) | (doy >= lo + 366) | (doy <= hi - 366)
+        x = v[:, win]
+        if x.shape[1] == 0:
+            continue
+        n = np.isfinite(x).sum(axis=1)
+        mean, std = _biweight(x, axis=1)
+        mean = np.where(n >= 30, mean, np.nan)
+        std = np.where(n >= 30, np.maximum(std, 0.5), np.nan)
+        clim_mean[:, d] = mean
+        clim_std[:, d] = std
+    z = (v - clim_mean[:, doy]) / clim_std[:, doy]
+    with np.errstate(invalid="ignore"):
+        bad = np.abs(z) > ZSCORE_THRESHOLD
+    _flag(flags, np.nan_to_num(bad.astype(float)).astype(bool), C.QA_CLIM_OUTLIER)
+
+
+# ------------------------------------------------------------- entry points
+
+
+def run_qa_non_spatial(
+    tmin: np.ndarray, tmax: np.ndarray, days: DaysMetadata
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full non-spatial QA pass. Returns (flags_tmin, flags_tmax), uint8."""
+    flags_tmin = np.full(tmin.shape, C.QA_OK, np.uint8)
+    flags_tmax = np.full(tmax.shape, C.QA_OK, np.uint8)
+
+    for obs, flags in ((tmin, flags_tmin), (tmax, flags_tmax)):
+        check_world_records(obs, flags)
+        check_duplicate_years(obs, flags, days)
+        check_duplicate_months(obs, flags, days)
+        check_streaks(obs, flags)
+    check_tmax_dup_tmin(tmax, tmin, flags_tmax, flags_tmin, days)
+    check_internal_consistency(tmax, tmin, flags_tmax, flags_tmin)
+    check_mega_consistency(tmax, tmin, flags_tmax, flags_tmin, days)
+    for obs, flags in ((tmin, flags_tmin), (tmax, flags_tmax)):
+        check_gap(obs, flags, days)
+        check_spike_dip(obs, flags)
+        check_clim_outlier(obs, flags, days)
+    return flags_tmin, flags_tmax
+
+
+def run_qa_spatial(
+    obs: np.ndarray,
+    flags: np.ndarray,
+    stn_lon: np.ndarray,
+    stn_lat: np.ndarray,
+    days: DaysMetadata,
+    n_neighbors: int = 7,
+    max_dist_km: float = 75.0,
+) -> np.ndarray:
+    """Spatial regression + corroboration check (updates and returns flags).
+
+    For each station-day: estimate the value from distance-weighted neighbor
+    anomalies (+ target's climatology); a residual beyond
+    SPATIAL_RESID_THRESHOLD that no near neighbor corroborates (all absolute
+    anomaly differences > SPATIAL_CORROB_THRESHOLD) is flagged.
+    """
+    from topotpu.oracle.numpy_ref import haversine_km
+
+    S, T = obs.shape
+    v = np.where(_valid(obs, flags), obs, np.nan)
+
+    # station-month climatology + anomalies
+    clim = np.zeros((S, 12))
+    for m in range(12):
+        sel = days.month_idx == m
+        with np.errstate(invalid="ignore"):
+            clim[:, m] = np.nanmean(v[:, sel], axis=1)
+    anom = v - clim[:, days.month_idx]
+
+    d = haversine_km(stn_lon[:, None], stn_lat[:, None], stn_lon[None, :], stn_lat[None, :])
+    np.fill_diagonal(d, np.inf)
+    order = np.argsort(d, axis=1)[:, :n_neighbors]
+    ndist = np.take_along_axis(d, order, axis=1)
+    w = 1.0 / np.maximum(ndist, 1.0) ** 2
+    w[ndist > max_dist_km] = 0.0
+
+    nb_anom = anom[order]            # (S, n, T)
+    nb_w = np.where(np.isfinite(nb_anom), w[..., None], 0.0)
+    est = np.nansum(np.nan_to_num(nb_anom) * nb_w, axis=1) / np.maximum(
+        nb_w.sum(axis=1), 1e-12
+    )
+    n_used = (nb_w > 0).sum(axis=1)
+    est[n_used < 3] = np.nan
+    resid = anom - est
+
+    diffs = np.abs(anom[:, None, :] - nb_anom)   # (S, n, T)
+    with np.errstate(invalid="ignore"):
+        corroborated = np.nanmin(diffs, axis=1) <= SPATIAL_CORROB_THRESHOLD
+    with np.errstate(invalid="ignore"):
+        bad = (np.abs(resid) > SPATIAL_RESID_THRESHOLD) & ~corroborated
+    _flag(flags, np.nan_to_num(bad.astype(float)).astype(bool), C.QA_SPATIAL_REGRESS)
+    return flags
