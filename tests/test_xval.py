@@ -1,0 +1,63 @@
+"""Cross-validation machinery (the reference's validation story, SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from topotpu.core.config import InterpParams, PPCAParams
+from topotpu.core.dates import get_days_metadata
+from topotpu.interp.xval import xval_interp_normals, xval_infill, optimize_nnghs
+from topotpu.io.synthetic import make_world
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(17)
+    return make_world(rng, nrows=60, ncols=60, n_stations=150, ndays=365)
+
+
+def _vario(world):
+    nug, ps, rg = world.true_vario
+    return np.tile(np.array([nug, ps, rg], np.float32), (world.n_stations, 12, 1))
+
+
+def test_loo_xval_paper_scale_accuracy(world):
+    sc = xval_interp_normals(
+        world.stn_lon, world.stn_lat, world.stn_elev, world.stn_tdi,
+        world.stn_lst, world.stn_norm, _vario(world),
+        np.ones((world.n_stations, 12), bool), InterpParams(k_neighbors=16),
+    )
+    # paper-scale (SURVEY §6): annual normal MAE ~0.5-0.8 C; synthetic world
+    # is easier (correctly-specified model) so demand < 0.6
+    assert sc.mae.mean() < 0.6, f"LOO MAE {sc.mae.mean():.3f}"
+    assert np.abs(sc.bias.mean()) < 0.1
+    assert sc.r2.mean() > 0.9
+
+
+def test_xval_infill_protocol(world):
+    days = get_days_metadata("2015-01-01", "2015-12-31")
+    S = world.n_stations
+    truth = (
+        world.stn_norm[np.arange(S)[:, None], days.month_idx[None, :]]
+        + world.stn_anoms
+    ).astype(np.float32)[:40]
+    out = xval_infill(
+        truth, days.month_idx, PPCAParams(n_components=8, n_neighbors=12),
+        holdout_frac=0.2, stn_lon=world.stn_lon[:40], stn_lat=world.stn_lat[:40],
+    )
+    assert out["n_holdout"] > 2000
+    assert out["mae"] < 1.5
+    assert abs(out["bias"]) < 0.2
+
+
+def test_optimize_nnghs_returns_sane_choice(world):
+    out = optimize_nnghs(
+        world.stn_lon, world.stn_lat, world.stn_elev, world.stn_tdi,
+        world.stn_lst, world.stn_norm, _vario(world),
+        np.ones((world.n_stations, 12), bool),
+        candidates=(8, 16, 32),
+        region_labels=(world.stn_lat > world.stn_lat.mean()).astype(int),
+    )
+    assert set(out["best"]) == {0, 1}
+    assert all(k in (8, 16, 32) for k in out["best"].values())
+    # MAE table populated for every candidate
+    assert set(out["mae"]) == {8, 16, 32}

@@ -1,0 +1,140 @@
+"""topotpu pipeline CLI.
+
+Parity target: the reference's run-this-then-that shell pipeline of numbered
+``bin/step*.py`` scripts (SURVEY.md §2.18, L6). One entry point:
+
+    python -m topotpu.cli <stage> [--config cfg.json] [stage options]
+
+Stages (in pipeline order):
+    synth-data   generate synthetic rasters + obs DB (no-network stand-in)
+    download     fetch GHCN-D raw data (needs network)
+    build-db     parse raw files -> all_obs.h5
+    qa           flag observations (non-spatial + spatial checks)
+    homog        pairwise homogenization -> homog.h5
+    infill       PPCA serial completion -> serial_{var}.h5
+    krig-params  per-station variogram fits -> serial DB attrs
+    interp       gridded tile interpolation -> tiles/
+    mosaic       merge tiles -> mosaic_{var}.h5
+    all          synth-data .. mosaic in sequence
+    xval-interp  leave-one-station-out normals scores
+    xval-infill  hold-out infill scores
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+from topotpu.core.config import TopoConfig
+
+
+def _load_config(path: str | None) -> TopoConfig:
+    if path:
+        return TopoConfig.load(path)
+    default = pathlib.Path("topotpu.json")
+    if default.exists():
+        return TopoConfig.load(default)
+    return TopoConfig()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="topotpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("stage", choices=[
+        "synth-data", "download", "build-db", "qa", "homog", "infill",
+        "krig-params", "interp", "mosaic", "all", "xval-interp", "xval-infill",
+    ])
+    ap.add_argument("--config", help="TopoConfig JSON path")
+    ap.add_argument("--data-dir", help="override config.data_dir")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stations", type=int, default=250, help="synth-data station count")
+    ap.add_argument("--grid", type=int, default=96, help="synth-data grid size")
+    args = ap.parse_args(argv)
+
+    cfg = _load_config(args.config)
+    if args.data_dir:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, data_dir=args.data_dir)
+
+    from topotpu.cli import steps
+
+    def report(name, result):
+        print(json.dumps({"stage": name, "result": result}, default=str),
+              flush=True)
+
+    stage = args.stage
+    if stage in ("synth-data", "all"):
+        steps.step_synth_data(cfg, nrows=args.grid, ncols=args.grid,
+                              n_stations=args.stations, seed=args.seed)
+        report("synth-data", "ok")
+    if stage == "download":
+        steps.step_download(cfg)
+        report("download", "ok")
+    if stage == "build-db":
+        steps.step_build_db(cfg)
+        report("build-db", "ok")
+    if stage in ("qa", "all"):
+        report("qa", steps.step_qa(cfg))
+    if stage in ("homog", "all"):
+        report("homog", steps.step_homog(cfg))
+    if stage in ("infill", "all"):
+        report("infill", steps.step_infill(cfg))
+    if stage in ("krig-params", "all"):
+        report("krig-params", steps.step_krig_params(cfg))
+    if stage in ("interp", "all"):
+        report("interp", steps.step_interp(cfg))
+    if stage in ("mosaic", "all"):
+        report("mosaic", steps.step_mosaic(cfg))
+
+    if stage == "xval-interp":
+        import numpy as np
+
+        from topotpu.core import constants as C
+        from topotpu.cli.steps import _paths
+        from topotpu.interp.xval import xval_interp_normals
+        from topotpu.io.stndb import StationDB
+
+        p = _paths(cfg)
+        with StationDB(p["serial_tmin"]) as db:
+            vario = np.stack(
+                [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
+                axis=-1,
+            )
+            bad = db.stn(C.BAD).astype(bool)
+            sc = xval_interp_normals(
+                db.stn(C.LON), db.stn(C.LAT), db.stn(C.ELEV), db.stn(C.TDI),
+                db.stn(C.LST), db.stn(C.NORM), vario,
+                np.repeat(~bad[:, None], 12, 1), cfg.interp,
+            )
+        report("xval-interp", {
+            "mae_mean": float(sc.mae.mean()),
+            "bias_mean": float(sc.bias.mean()),
+            "r2_mean": float(sc.r2.mean()),
+            "mae_by_month": [float(x) for x in sc.mae],
+        })
+    if stage == "xval-infill":
+        import numpy as np
+
+        from topotpu.core import constants as C
+        from topotpu.cli.steps import _paths, _days
+        from topotpu.interp.xval import xval_infill
+        from topotpu.io.stndb import StationDB
+
+        p = _paths(cfg)
+        days = _days(cfg)
+        src = p["homog"] if p["homog"].exists() else p["all_obs"]
+        with StationDB(src) as db:
+            out = xval_infill(
+                db.obs(C.TMIN), days.month_idx, cfg.ppca,
+                stn_lon=db.stn(C.LON), stn_lat=db.stn(C.LAT),
+            )
+        out.pop("result")
+        report("xval-infill", out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

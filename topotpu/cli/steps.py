@@ -1,0 +1,322 @@
+"""Pipeline stage implementations.
+
+Parity target: the reference's numbered ``bin/step*.py`` scripts +
+``mpi_*.py`` drivers (SURVEY.md §2.18) — one function per stage, each
+reading one artifact and atomically writing the next (the artifact chain IS
+the checkpoint/resume story, SURVEY §5):
+
+  synth-data | download+build-db -> all_obs.h5
+  qa          -> qa flags inside all_obs.h5
+  homog       -> homog.h5
+  infill      -> serial_{tmin,tmax}.h5
+  krig-params -> variogram attrs inside serial DBs
+  interp      -> tiles/<var>_tileNNNNN.h5 (+manifest)
+  mosaic      -> mosaic_<var>.h5
+
+The mpi drivers' role (work distribution) is inside the TileEngine / the
+batched jits; these functions are plain single-process host orchestration.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+from topotpu.core import constants as C
+from topotpu.core.config import TopoConfig
+from topotpu.core.dates import get_days_metadata
+from topotpu.io.rasters import RasterStack
+from topotpu.io.stndb import StationDB, write_serial_db
+
+
+def _paths(cfg: TopoConfig) -> dict[str, pathlib.Path]:
+    d = pathlib.Path(cfg.data_dir)
+    return {
+        "root": d,
+        "rasters": d / "rasters.h5",
+        "all_obs": d / "all_obs.h5",
+        "homog": d / "homog.h5",
+        "serial_tmin": d / "serial_tmin.h5",
+        "serial_tmax": d / "serial_tmax.h5",
+        "tiles": d / "tiles",
+        "mosaic_tmin": d / "mosaic_tmin.h5",
+        "mosaic_tmax": d / "mosaic_tmax.h5",
+    }
+
+
+def _days(cfg: TopoConfig):
+    return get_days_metadata(cfg.start_date, cfg.end_date)
+
+
+# ------------------------------------------------------------ stage: data
+
+
+def step_synth_data(cfg: TopoConfig, nrows=96, ncols=96, n_stations=250,
+                    missing_frac=0.15, seed=0, ocean_frac=0.1) -> None:
+    """Generate the synthetic world (no-network substitute for
+    download+build-db, SURVEY §7 step 1). Writes rasters.h5 + all_obs.h5."""
+    from topotpu.io.synthetic import make_world
+
+    p = _paths(cfg)
+    p["root"].mkdir(parents=True, exist_ok=True)
+    days = _days(cfg)
+    rng = np.random.default_rng(seed)
+    world = make_world(rng, nrows=nrows, ncols=ncols, n_stations=n_stations,
+                      ndays=days.ndays, ocean_frac=ocean_frac)
+    RasterStack.from_world(world).save(p["rasters"])
+
+    S = world.n_stations
+    tmin = (
+        world.stn_norm[np.arange(S)[:, None], days.month_idx[None, :]]
+        + world.stn_anoms
+    ).astype(np.float32)
+    tmax = tmin + 10.0 + 1.5 * rng.standard_normal(tmin.shape).astype(np.float32)
+    for arr in (tmin, tmax):
+        arr[rng.uniform(size=arr.shape) < missing_frac] = np.nan
+
+    attrs = {
+        C.STN_ID: np.array([f"SYNTH{i:05d}" for i in range(S)]),
+        C.LON: world.stn_lon,
+        C.LAT: world.stn_lat,
+        C.ELEV: world.stn_elev,
+        C.TDI: world.stn_tdi,
+        C.LST: world.stn_lst.astype(np.float32),
+    }
+    with StationDB.create(p["all_obs"], attrs, days.date64) as db:
+        db.set_obs(C.TMIN, tmin)
+        db.set_obs(C.TMAX, tmax)
+
+
+def step_download(cfg: TopoConfig, opener=None) -> None:
+    """Fetch GHCN-D inventory + station files (gated: needs a network
+    opener; this container has none — see io.download)."""
+    from topotpu.io import download as dl
+
+    p = _paths(cfg)
+    raw = p["root"] / "raw"
+    dl.fetch(dl.GHCND_STATIONS, raw / "ghcnd-stations.txt", opener)
+    dl.fetch(dl.GHCND_ALL_TAR, raw / "ghcnd_all.tar.gz", opener)
+
+
+def step_build_db(cfg: TopoConfig) -> None:
+    """Parse raw GHCN-D (+delimited SNOTEL/RAWS) files -> all_obs.h5."""
+    from topotpu.io.build_db import InsertGhcn, InsertSnotel, InsertRaws, \
+        build_station_db, parse_ghcnd_stations
+
+    p = _paths(cfg)
+    raw = p["root"] / "raw"
+    days = _days(cfg)
+    inv_file = raw / "ghcnd-stations.txt"
+    inv = parse_ghcnd_stations(inv_file.read_text()) if inv_file.exists() else {}
+    parsed = []
+    ghcn = InsertGhcn(inv)
+    for f in sorted(raw.glob("*.dly")):
+        parsed.append(ghcn.parse_dly(f.read_text()))
+    for parser, pat in ((InsertSnotel(), "snotel_*.csv"), (InsertRaws(), "raws_*.csv")):
+        for f in sorted(raw.glob(pat)):
+            parsed.append(parser.parse(f.read_text(), f.stem))
+    build_station_db(p["all_obs"], parsed, days).close()
+
+
+# -------------------------------------------------------------- stage: qa
+
+
+def step_qa(cfg: TopoConfig, spatial: bool = True) -> dict:
+    from topotpu.qa import run_qa_non_spatial, run_qa_spatial
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    with StationDB(p["all_obs"], "a") as db:
+        tmin = db.obs(C.TMIN)
+        tmax = db.obs(C.TMAX)
+        ft, fx = run_qa_non_spatial(tmin, tmax, days)
+        if spatial:
+            lon, lat = db.stn(C.LON), db.stn(C.LAT)
+            ft = run_qa_spatial(tmin, ft, lon, lat, days)
+            fx = run_qa_spatial(tmax, fx, lon, lat, days)
+        db.set_qflags(C.TMIN, ft)
+        db.set_qflags(C.TMAX, fx)
+    return {
+        "flag_rate_tmin": float((ft != C.QA_OK).mean()),
+        "flag_rate_tmax": float((fx != C.QA_OK).mean()),
+    }
+
+
+# ----------------------------------------------------------- stage: homog
+
+
+def step_homog(cfg: TopoConfig) -> dict:
+    from topotpu.homog import homogenize_network
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    n_breaks = {}
+    with StationDB(p["all_obs"]) as db:
+        lon, lat = db.stn(C.LON), db.stn(C.LAT)
+        attrs = {k: db.stn(k) for k in db._f["stn"].keys()}
+        out = StationDB.create(p["homog"], attrs, days.date64)
+        for var in (C.TMIN, C.TMAX):
+            obs = db.obs(var)
+            try:
+                flags = db.qflags(var)
+                obs = np.where(flags == C.QA_OK, obs, np.nan)
+            except KeyError:
+                pass
+            res = homogenize_network(obs, days.year, days.month, lon, lat)
+            out.set_obs(var, res.adjusted_daily)
+            n_breaks[var] = sum(len(b) for b in res.breakpoints)
+        out.close()
+    return n_breaks
+
+
+# ---------------------------------------------------------- stage: infill
+
+
+def step_infill(cfg: TopoConfig) -> dict:
+    from topotpu.infill import infill_network
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    src_path = p["homog"] if p["homog"].exists() else p["all_obs"]
+    stats = {}
+    with StationDB(src_path) as db:
+        lon, lat = db.stn(C.LON), db.stn(C.LAT)
+        for var in (C.TMIN, C.TMAX):
+            obs = db.obs(var)
+            res = infill_network(
+                obs, days.month_idx, cfg.ppca, stn_lon=lon, stn_lat=lat
+            )
+            write_serial_db(
+                p[f"serial_{var}"], db, var, res.filled, res.norms, res.bad
+            )
+            stats[var] = {
+                "bad": int(res.bad.sum()),
+                "imputed_frac": float((~res.obs_mask).mean()),
+            }
+    return stats
+
+
+# ----------------------------------------------------- stage: krig params
+
+
+def step_krig_params(cfg: TopoConfig) -> dict:
+    import jax.numpy as jnp
+
+    from topotpu.interp.params import build_krig_params, fill_failed_fits
+
+    p = _paths(cfg)
+    out = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"serial_{var}"]
+        with StationDB(path, "a") as db:
+            norm = db.stn(C.NORM)
+            bad = db.stn(C.BAD).astype(bool)
+            valid = np.repeat(~bad[:, None], 12, axis=1)
+            res = build_krig_params(
+                jnp.asarray(db.stn(C.LON), jnp.float32),
+                jnp.asarray(db.stn(C.LAT), jnp.float32),
+                jnp.asarray(db.stn(C.ELEV), jnp.float32),
+                jnp.asarray(db.stn(C.TDI), jnp.float32),
+                jnp.asarray(db.stn(C.LST), jnp.float32),
+                jnp.asarray(norm, jnp.float32),
+                jnp.asarray(valid),
+                cfg.variogram, cfg.interp,
+            )
+            vario = fill_failed_fits(np.asarray(res.vario), np.asarray(res.ok))
+            db.set_stn(C.VARIO_NUG, vario[..., 0])
+            db.set_stn(C.VARIO_PSILL, vario[..., 1])
+            db.set_stn(C.VARIO_RNG, vario[..., 2])
+            out[var] = {"ok_frac": float(np.asarray(res.ok).mean())}
+    return out
+
+
+# ---------------------------------------------------------- stage: interp
+
+
+def _station_set(path, days) -> "StationSet":
+    from topotpu.dist.engine import StationSet
+
+    with StationDB(path) as db:
+        bad = db.stn(C.BAD).astype(bool)
+        vario = np.stack(
+            [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
+            axis=-1,
+        )
+        norms = db.stn(C.NORM)
+        filled = None
+        for var in (C.TMIN, C.TMAX):
+            try:
+                filled = db.obs(var)
+                break
+            except KeyError:
+                continue
+        anoms = filled - norms[:, days.month_idx]
+        return StationSet(
+            lon=db.stn(C.LON), lat=db.stn(C.LAT), elev=db.stn(C.ELEV),
+            tdi=db.stn(C.TDI), lst=db.stn(C.LST), norm=norms, vario=vario,
+            valid=np.repeat(~bad[:, None], 12, axis=1),
+            anoms=anoms.astype(np.float32),
+        )
+
+
+def step_interp(cfg: TopoConfig) -> dict:
+    from topotpu.dist.engine import TileEngine
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    rasters = RasterStack.load(p["rasters"])
+    eng = TileEngine(cfg, rasters, days, p["tiles"])
+    out = {}
+    for var in (C.TMIN, C.TMAX):
+        stations = _station_set(p[f"serial_{var}"], days)
+        out[var] = eng.run(var, stations)
+    return out
+
+
+# ---------------------------------------------------------- stage: mosaic
+
+
+def step_mosaic(cfg: TopoConfig) -> dict:
+    """Assemble per-tile files into full-grid mosaics (the reference's
+    final mosaic step, SURVEY §2.15)."""
+    import h5py
+
+    from topotpu.core.grid import Tiling
+    from topotpu.io.ncdf import read_var
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    rasters = RasterStack.load(p["rasters"])
+    tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    out = {}
+    for var in (C.TMIN, C.TMAX):
+        dst = p[f"mosaic_{var}"]
+        tmp = dst.with_suffix(".tmp")
+        R, Cc = rasters.grid.shape
+        with h5py.File(tmp, "w") as f:
+            normal = f.create_dataset("normal", (12, R, Cc), np.float32,
+                                      fillvalue=np.nan)
+            se = f.create_dataset("se", (12, R, Cc), np.float32,
+                                  fillvalue=np.nan)
+            daily = f.create_dataset(
+                var, (days.ndays, R, Cc), np.float32, fillvalue=np.nan,
+                chunks=(min(32, days.ndays), cfg.tile_rows, cfg.tile_cols),
+                compression="gzip", compression_opts=1,
+            )
+            n = 0
+            for ts in tiling.land_tiles(rasters.landmask):
+                tf = p["tiles"] / f"{var}_tile{ts.tile_id:05d}.h5"
+                if not tf.exists():
+                    continue
+                sl = (slice(ts.row0, ts.row0 + ts.nrows),
+                      slice(ts.col0, ts.col0 + ts.ncols))
+                normal[(slice(None),) + sl] = read_var(tf, f"{var}_normal")
+                se[(slice(None),) + sl] = read_var(tf, f"{var}_se")
+                daily[(slice(None),) + sl] = read_var(tf, var)
+                n += 1
+            f.attrs["n_tiles"] = n
+            f.attrs["cellsize"] = rasters.grid.cellsize
+        tmp.replace(dst)
+        out[var] = n
+    return out

@@ -122,11 +122,12 @@ def infill_network(
         lambda Y, M: ppca_impute(
             Y, M, n_components=min(params.n_components, V - 1),
             max_iters=params.max_iters, tol=params.tol,
-        ),
-        static_argnames=(),
+        )
     )
+    # variance_adjust must be jitted too: eager op-by-op dispatch over the
+    # tunneled TPU pays an RPC per primitive (12 months x ~15 ops x batches)
+    va = jax.jit(lambda f, m: variance_adjust(f, m, jnp.asarray(month_idx)))
 
-    month_idx_j = jnp.asarray(month_idx)
     pad_to = ((S + batch_size - 1) // batch_size) * batch_size
     order = np.arange(pad_to) % S  # wrap padding targets
 
@@ -136,10 +137,7 @@ def infill_network(
         Y = obs0[cols].transpose(0, 2, 1)          # (B, T, V)
         M = mask[cols].transpose(0, 2, 1)
         res = fn(jnp.asarray(Y), jnp.asarray(M))
-        target_filled = res.filled[..., 0]          # (B, T)
-        target_filled = variance_adjust(
-            target_filled, jnp.asarray(mask[tgt]), month_idx_j
-        )
+        target_filled = va(res.filled[..., 0], jnp.asarray(mask[tgt]))
         tf = np.asarray(target_filled)
         filled[tgt] = tf  # wrapped padding targets recompute identically
         n_iters[tgt] = np.asarray(res.n_iters)

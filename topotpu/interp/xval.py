@@ -1,0 +1,168 @@
+"""Cross-validation machinery.
+
+Parity target: the reference's correctness story (SURVEY.md §4) — there is
+no unit-test suite in the public repo; its validation is cross-validation
+built into the pipeline:
+
+  * held-out-station x-val of the interpolation (``bin/mpi_xval_*``):
+    leave each station out, interpolate to its location, score MAE/bias/R^2
+    of normals — the numbers behind the paper's error tables;
+  * infill x-val (``twx/infill/random_xval.py``-style): mask observed
+    spans, impute, score;
+  * station-count optimization (``bin/mpi_optim_nstns_*``, SURVEY §2.16):
+    sweep neighborhood sizes, pick the per-region minimum-MAE k.
+
+TPU-first: leave-one-out over ALL stations is one batched run per month —
+the "cells" of the tile pipeline are simply the station locations with
+self-exclusion — instead of one MPI task per held-out station.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from topotpu.core.config import InterpParams, PPCAParams
+from topotpu.geo.distance import unit_xyz
+from topotpu.geo.neighbors import select_neighbors
+from topotpu.interp.normals import krig_normals
+
+
+@dataclasses.dataclass
+class XvalScores:
+    mae: np.ndarray    # (12,) or scalar-per-month metric
+    bias: np.ndarray   # (12,)
+    r2: np.ndarray     # (12,)
+    per_station_err: np.ndarray  # (S, 12) prediction - truth
+
+
+def xval_interp_normals(
+    stn_lon, stn_lat, stn_elev, stn_tdi, stn_lst, stn_norm, stn_vario,
+    stn_valid, params: InterpParams,
+) -> XvalScores:
+    """Leave-one-station-out normals interpolation, batched over stations.
+
+    All inputs are numpy/(jnp) arrays shaped like the serial DB attributes:
+    lon/lat/elev/tdi (S,), lst/norm/valid (S, 12), vario (S, 12, 3).
+    """
+    S = stn_lon.shape[0]
+    dt = jnp.float32
+    lon = jnp.asarray(stn_lon, dt)
+    lat = jnp.asarray(stn_lat, dt)
+    elev = jnp.asarray(stn_elev, dt)
+    tdi = jnp.asarray(stn_tdi, dt)
+    lst = jnp.asarray(stn_lst, dt)
+    norm = jnp.asarray(stn_norm, dt)
+    vario = jnp.asarray(stn_vario, dt)
+    valid = jnp.asarray(stn_valid)
+    xyz = unit_xyz(lon, lat)
+
+    import jax
+
+    @jax.jit  # jit per month: eager dispatch over a tunneled TPU pays an
+    def _one_month(valid_m, lst_m, norm_m, vario_m):  # RPC per primitive
+        nbr = select_neighbors(
+            lon, lat, lon, lat, valid_m, k=params.k_neighbors,
+            exclude_self_km=1e-3,
+        )
+        take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
+        nbr_cov = jnp.stack([take(elev), take(tdi), take(lst_m)], axis=-1)
+        cell_cov = jnp.stack([elev, tdi, lst_m], axis=-1)
+        res = krig_normals(
+            nbr.dist, nbr.mask, take(xyz), nbr_cov, cell_cov,
+            take(norm_m), take(vario_m),
+            weight_kernel=params.weight_kernel, ridge=params.ridge,
+            jitter_frac=params.chol_jitter, min_neighbors=params.min_neighbors,
+        )
+        return res.normal - norm_m
+
+    errs = np.zeros((S, 12), np.float32)
+    for m in range(12):
+        errs[:, m] = np.asarray(
+            _one_month(valid[:, m], lst[:, m], norm[:, m], vario[:, m, :])
+        )
+
+    truth = np.asarray(norm)
+    maes, biases, r2s = [], [], []
+    vmask = np.asarray(valid)
+    for m in range(12):
+        e = errs[vmask[:, m], m]
+        t = truth[vmask[:, m], m]
+        maes.append(np.abs(e).mean())
+        biases.append(e.mean())
+        ss_res = (e**2).sum()
+        ss_tot = ((t - t.mean()) ** 2).sum() + 1e-12
+        r2s.append(1.0 - ss_res / ss_tot)
+    return XvalScores(
+        mae=np.array(maes), bias=np.array(biases), r2=np.array(r2s),
+        per_station_err=errs,
+    )
+
+
+def xval_infill(
+    obs: np.ndarray,
+    month_idx: np.ndarray,
+    params: PPCAParams,
+    holdout_frac: float = 0.2,
+    seed: int = 0,
+    stn_lon=None,
+    stn_lat=None,
+) -> dict:
+    """Hold out observed entries, infill, score (SURVEY §2.9; BASELINE
+    config #3's '20% missing obs' protocol)."""
+    from topotpu.infill import infill_network
+
+    rng = np.random.default_rng(seed)
+    observed = np.isfinite(obs)
+    hold = observed & (rng.uniform(size=obs.shape) < holdout_frac)
+    obs_masked = np.where(hold, np.nan, obs)
+    res = infill_network(obs_masked, month_idx, params,
+                         stn_lon=stn_lon, stn_lat=stn_lat)
+    err = (res.filled - obs)[hold]
+    return {
+        "mae": float(np.abs(err).mean()),
+        "bias": float(err.mean()),
+        "rmse": float(np.sqrt((err**2).mean())),
+        "n_holdout": int(hold.sum()),
+        "result": res,
+    }
+
+
+def optimize_nnghs(
+    stn_lon, stn_lat, stn_elev, stn_tdi, stn_lst, stn_norm, stn_vario,
+    stn_valid,
+    candidates=(8, 16, 24, 32, 48),
+    region_labels: np.ndarray | None = None,
+    base_params: InterpParams | None = None,
+) -> dict:
+    """Sweep neighborhood sizes via LOO x-val; per-region argmin MAE.
+
+    ``region_labels``: (S,) ints (e.g. climate-division ids); None = one
+    global region. Returns {"best": {region: k}, "mae": {k: (12,)} , ...}.
+    """
+    base = base_params or InterpParams()
+    if region_labels is None:
+        region_labels = np.zeros(len(stn_lon), int)
+    regions = np.unique(region_labels)
+
+    mae_by_k = {}
+    err_by_k = {}
+    for k in candidates:
+        p = dataclasses.replace(base, k_neighbors=int(k))
+        sc = xval_interp_normals(
+            stn_lon, stn_lat, stn_elev, stn_tdi, stn_lst, stn_norm,
+            stn_vario, stn_valid, p,
+        )
+        mae_by_k[int(k)] = sc.mae
+        err_by_k[int(k)] = sc.per_station_err
+
+    best = {}
+    for r in regions:
+        in_r = region_labels == r
+        scores = {
+            k: float(np.abs(err_by_k[k][in_r]).mean()) for k in mae_by_k
+        }
+        best[int(r)] = min(scores, key=scores.get)
+    return {"best": best, "mae": mae_by_k, "per_station_err": err_by_k}

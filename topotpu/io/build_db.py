@@ -1,0 +1,214 @@
+"""Station DB construction from raw per-network formats.
+
+Parity target: ``twx/db/create_db_all_stations.py`` (SURVEY.md §2.2) — the
+per-network ``Insert*`` classes (InsertGhcn, InsertSnotel, InsertRaws) that
+parse raw observation files and assemble the all-obs netCDF database
+(stations x days matrices for tmin/tmax plus provider QA flags).
+
+Formats:
+  * GHCN-Daily ``.dly``: fixed-width, one line per station-month-element,
+    31 x (value + 3 flag chars), tenths of deg C, -9999 missing
+    (NOAA's published format description; parser written from the spec).
+  * GHCN station inventory ``ghcnd-stations.txt``: fixed-width metadata.
+  * SNOTEL / RAWS: delimited daily exports (configurable column mapping).
+
+Values arriving with a provider QA flag are dropped (the reference honors
+GHCN QFLAGs the same way) — our own QA (topotpu.qa) runs after.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import numpy as np
+
+from topotpu.core import constants as C
+from topotpu.core.dates import DaysMetadata
+from topotpu.io.stndb import StationDB
+
+
+@dataclasses.dataclass
+class ParsedStation:
+    stn_id: str
+    name: str = ""
+    state: str = ""
+    lon: float = np.nan
+    lat: float = np.nan
+    elev: float = np.nan
+    # maps ymd int -> value (deg C)
+    tmin: dict = dataclasses.field(default_factory=dict)
+    tmax: dict = dataclasses.field(default_factory=dict)
+
+
+# ----------------------------------------------------------------- GHCN-D
+
+
+def parse_ghcnd_stations(text: str) -> dict[str, dict]:
+    """ghcnd-stations.txt fixed-width inventory -> {stn_id: attrs}."""
+    out = {}
+    for line in text.splitlines():
+        if len(line) < 71:
+            continue
+        stn_id = line[0:11].strip()
+        out[stn_id] = {
+            "lat": float(line[12:20]),
+            "lon": float(line[21:30]),
+            "elev": float(line[31:37]),
+            "state": line[38:40].strip(),
+            "name": line[41:71].strip(),
+        }
+    return out
+
+
+class InsertGhcn:
+    """Parse GHCN-Daily .dly files (SURVEY §2.2's InsertGhcn equivalent)."""
+
+    ELEMENTS = {"TMIN": "tmin", "TMAX": "tmax"}
+
+    def __init__(self, inventory: dict[str, dict] | None = None):
+        self.inventory = inventory or {}
+
+    def parse_dly(self, text: str, stn_id: str | None = None) -> ParsedStation:
+        ps: ParsedStation | None = None
+        for line in text.splitlines():
+            if len(line) < 269:
+                continue
+            sid = line[0:11]
+            if stn_id and sid != stn_id:
+                continue
+            if ps is None:
+                meta = self.inventory.get(sid, {})
+                ps = ParsedStation(
+                    stn_id=sid,
+                    name=meta.get("name", ""),
+                    state=meta.get("state", ""),
+                    lon=meta.get("lon", np.nan),
+                    lat=meta.get("lat", np.nan),
+                    elev=meta.get("elev", np.nan),
+                )
+            elem = line[17:21]
+            var = self.ELEMENTS.get(elem)
+            if var is None:
+                continue
+            year = int(line[11:15])
+            month = int(line[15:17])
+            target = getattr(ps, var)
+            for day in range(31):
+                off = 21 + day * 8
+                raw = line[off : off + 5]
+                qflag = line[off + 6 : off + 7]
+                try:
+                    v = int(raw)
+                except ValueError:
+                    continue
+                if v == -9999:
+                    continue
+                if qflag.strip():  # provider QA flag -> drop (reference behavior)
+                    continue
+                ymd = year * 10000 + month * 100 + (day + 1)
+                target[ymd] = v / 10.0  # tenths C -> C
+        return ps if ps is not None else ParsedStation(stn_id=stn_id or "?")
+
+
+# -------------------------------------------------------------- SNOTEL/RAWS
+
+
+class InsertDelimited:
+    """Generic delimited daily-obs parser (SNOTEL/RAWS exports).
+
+    Column mapping: date (YYYY-MM-DD), tmin, tmax; configurable indices and
+    units. The reference's InsertSnotel/InsertRaws normalize exactly these
+    fields out of their network formats."""
+
+    def __init__(self, date_col=0, tmin_col=1, tmax_col=2, sep=",",
+                 unit="C", missing=("", "-99.9", "-9999")):
+        self.date_col, self.tmin_col, self.tmax_col = date_col, tmin_col, tmax_col
+        self.sep = sep
+        self.unit = unit
+        self.missing = set(missing)
+
+    def _to_c(self, v: float) -> float:
+        return (v - 32.0) * 5.0 / 9.0 if self.unit == "F" else v
+
+    def parse(self, text: str, stn_id: str, **meta) -> ParsedStation:
+        ps = ParsedStation(stn_id=stn_id, **meta)
+        for line in text.splitlines():
+            parts = [p.strip() for p in line.split(self.sep)]
+            if len(parts) <= max(self.date_col, self.tmin_col, self.tmax_col):
+                continue
+            d = parts[self.date_col]
+            if len(d) != 10 or d[4] != "-":
+                continue  # header or malformed
+            ymd = int(d[0:4]) * 10000 + int(d[5:7]) * 100 + int(d[8:10])
+            for col, var in ((self.tmin_col, "tmin"), (self.tmax_col, "tmax")):
+                raw = parts[col]
+                if raw in self.missing:
+                    continue
+                try:
+                    getattr(ps, var)[ymd] = self._to_c(float(raw))
+                except ValueError:
+                    continue
+        return ps
+
+
+class InsertSnotel(InsertDelimited):
+    """NRCS SNOTEL daily CSV (deg F in raw exports)."""
+
+    def __init__(self):
+        super().__init__(date_col=0, tmin_col=1, tmax_col=2, unit="F")
+
+
+class InsertRaws(InsertDelimited):
+    """WRCC RAWS daily listing (deg F)."""
+
+    def __init__(self):
+        super().__init__(date_col=0, tmin_col=1, tmax_col=2, unit="F")
+
+
+# ------------------------------------------------------------------- build
+
+
+def build_station_db(
+    path: str | pathlib.Path,
+    parsed: list[ParsedStation],
+    days: DaysMetadata,
+    min_obs: int = 30,
+) -> StationDB:
+    """Assemble the all-obs DB from parsed stations (atomic at the h5 layer).
+
+    Stations with fewer than ``min_obs`` values in the period are dropped
+    (the reference's period-of-record screen)."""
+    ymd_to_idx = {int(y): i for i, y in enumerate(days.ymd)}
+    T = days.ndays
+
+    keep: list[ParsedStation] = []
+    for ps in parsed:
+        n = sum(1 for y in ps.tmin if y in ymd_to_idx) + sum(
+            1 for y in ps.tmax if y in ymd_to_idx
+        )
+        if n >= min_obs:
+            keep.append(ps)
+    S = len(keep)
+
+    tmin = np.full((S, T), np.nan, np.float32)
+    tmax = np.full((S, T), np.nan, np.float32)
+    for i, ps in enumerate(keep):
+        for src, dst in ((ps.tmin, tmin), (ps.tmax, tmax)):
+            for ymd, v in src.items():
+                j = ymd_to_idx.get(ymd)
+                if j is not None:
+                    dst[i, j] = v
+
+    attrs = {
+        C.STN_ID: np.array([p.stn_id for p in keep]),
+        C.STN_NAME: np.array([p.name for p in keep]),
+        C.STATE: np.array([p.state for p in keep]),
+        C.LON: np.array([p.lon for p in keep], np.float64),
+        C.LAT: np.array([p.lat for p in keep], np.float64),
+        C.ELEV: np.array([p.elev for p in keep], np.float64),
+    }
+    db = StationDB.create(path, attrs, days.date64)
+    db.set_obs(C.TMIN, tmin)
+    db.set_obs(C.TMAX, tmax)
+    return db

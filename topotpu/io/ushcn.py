@@ -1,0 +1,71 @@
+"""USHCN v2.5 homogenized monthly ingest.
+
+Parity target: ``twx/db/ushcn.py`` (SURVEY.md §2.4) — read USHCN "FLs.52i"
+homogenized monthly series, used by the reference to anchor/compare its own
+homogenization adjustments.
+
+Format (NCEI USHCN v2.5 README): one line per station-year:
+  cols 1-11 station id, 13-16 year, then 12 x (value(6) dmflag qcflag
+  dsflag) fields; value in hundredths of a degree C... the tarball variant
+  used by the reference stores tenths of deg F for raw and hundredths deg C
+  in later revisions — the unit is a constructor knob with the v2.5 deg-C
+  hundredths default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MISSING = -9999
+
+
+def parse_ushcn_monthly(text: str, scale: float = 0.01) -> dict[str, dict]:
+    """Parse FLs.52i-style lines -> {stn_id: {"years": (Y,), "values": (Y, 12)}}."""
+    per_station: dict[str, dict[int, np.ndarray]] = {}
+    for line in text.splitlines():
+        if len(line) < 16 + 12 * 9:
+            continue
+        sid = line[0:11].strip()
+        try:
+            year = int(line[12:16])
+        except ValueError:
+            continue
+        vals = np.full(12, np.nan)
+        for m in range(12):
+            off = 16 + m * 9
+            raw = line[off : off + 6]
+            try:
+                v = int(raw)
+            except ValueError:
+                continue
+            if v != MISSING:
+                vals[m] = v * scale
+        per_station.setdefault(sid, {})[year] = vals
+    out = {}
+    for sid, by_year in per_station.items():
+        years = np.array(sorted(by_year))
+        values = np.stack([by_year[y] for y in years])
+        out[sid] = {"years": years, "values": values}
+    return out
+
+
+def compare_adjustments(
+    our_monthly_adjusted: np.ndarray,
+    our_years: np.ndarray,
+    ushcn: dict,
+    stn_id: str,
+) -> float:
+    """RMSE between our homogenized monthly means and USHCN's for one
+    station over the overlapping years (the reference's anchoring check)."""
+    if stn_id not in ushcn:
+        return np.nan
+    u = ushcn[stn_id]
+    common, ia, ib = np.intersect1d(our_years, u["years"], return_indices=True)
+    if len(common) == 0:
+        return np.nan
+    a = our_monthly_adjusted[ia]
+    b = u["values"][ib]
+    both = np.isfinite(a) & np.isfinite(b)
+    if both.sum() == 0:
+        return np.nan
+    return float(np.sqrt(np.mean((a[both] - b[both]) ** 2)))
