@@ -175,6 +175,7 @@ def step_homog(cfg: TopoConfig) -> dict:
 
 def step_infill(cfg: TopoConfig) -> dict:
     from topotpu.infill import infill_network
+    from topotpu.infill.post_infill import changepoint_flags
 
     p = _paths(cfg)
     days = _days(cfg)
@@ -187,11 +188,16 @@ def step_infill(cfg: TopoConfig) -> dict:
             res = infill_network(
                 obs, days.month_idx, cfg.ppca, stn_lon=lon, stn_lat=lat
             )
+            cp_bad = changepoint_flags(
+                res.filled, res.obs_mask, days.year, days.month
+            )
+            bad = res.bad | cp_bad
             write_serial_db(
-                p[f"serial_{var}"], db, var, res.filled, res.norms, res.bad
+                p[f"serial_{var}"], db, var, res.filled, res.norms, bad
             )
             stats[var] = {
-                "bad": int(res.bad.sum()),
+                "bad": int(bad.sum()),
+                "bad_changepoint": int(cp_bad.sum()),
                 "imputed_frac": float((~res.obs_mask).mean()),
             }
     return stats
