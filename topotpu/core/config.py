@@ -31,6 +31,8 @@ class InterpParams:
     ridge: float = 1e-6            # normal-equation ridge for f32 conditioning
     chol_jitter: float = 1e-5      # kriging matrix jitter (fraction of sill)
     dtype: str = "float32"
+    use_pallas: str = "auto"       # fused kriging kernel: auto|on|off
+                                   # (auto = on for TPU backends)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from topotpu.geo.distance import pairwise_km_from_xyz
@@ -48,6 +49,55 @@ def interp_cell_variogram(
     return jnp.stack([nug, psill, rng], axis=-1)
 
 
+def _use_pallas(flag: str) -> bool:
+    if flag == "on":
+        return True
+    if flag == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
+    """Route through the fused Pallas kernel (kernels/pallas_krig.py).
+
+    Builds the pair-distance tensor directly in the kernel's batch-last
+    (k, k, C) layout and pads the cell batch to a multiple of 128 lanes.
+    """
+    from topotpu.geo.distance import EARTH_RADIUS_KM
+    from topotpu.kernels.pallas_krig import LANES, ok_solve_fused
+
+    C_cells, k = dist.shape
+    xt = jnp.moveaxis(nbr_xyz, 0, -1)  # (k, 3, C)
+    d2 = None
+    for i in range(3):
+        diff = xt[:, i, :][:, None, :] - xt[:, i, :][None, :, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    dist_pair_t = 2.0 * EARTH_RADIUS_KM * jnp.arcsin(
+        jnp.clip(0.5 * jnp.sqrt(d2), 0.0, 1.0)
+    )  # (k, k, C)
+
+    pad = (-C_cells) % LANES
+    if pad:
+        dist_pair_t = jnp.pad(dist_pair_t, ((0, 0), (0, 0), (0, pad)))
+        dist_t = jnp.pad(dist.T, ((0, 0), (0, pad)))
+        mask_t = jnp.pad(mask.T.astype(jnp.float32), ((0, 0), (0, pad)))
+        vario_p = jnp.pad(vario, ((0, pad), (0, 0)), constant_values=1.0)
+    else:
+        dist_t = dist.T
+        mask_t = mask.T.astype(jnp.float32)
+        vario_p = vario
+    w_t, var, ok = ok_solve_fused(
+        dist_pair_t, dist_t, mask_t,
+        vario_p[..., 0], vario_p[..., 1], vario_p[..., 2],
+        jitter_frac=jitter_frac, min_neighbors=min_neighbors,
+    )
+    from topotpu.kernels.cholesky import OKSolution
+
+    return OKSolution(
+        weights=w_t.T[:C_cells], variance=var[:C_cells], ok=ok[:C_cells]
+    )
+
+
 def krig_normals(
     dist: jnp.ndarray,
     mask: jnp.ndarray,
@@ -60,6 +110,7 @@ def krig_normals(
     ridge: float = 1e-6,
     jitter_frac: float = 1e-5,
     min_neighbors: int = 3,
+    use_pallas: str = "auto",
 ) -> NormalsResult:
     """Regression-krige monthly normals for a batch of cells.
 
@@ -83,17 +134,22 @@ def krig_normals(
     vario = interp_cell_variogram(nbr_vario, w)
 
     # --- ordinary kriging of residuals ---
-    dist_pair = pairwise_km_from_xyz(nbr_xyz, nbr_xyz)
-    C, c0, sill = assemble_exp_cov(
-        dist_pair,
-        dist,
-        vario[..., 0],
-        vario[..., 1],
-        vario[..., 2],
-        mask,
-        jitter_frac=jitter_frac,
-    )
-    sol = ok_solve(C, c0, mask, sill, min_neighbors)
+    if _use_pallas(use_pallas):
+        sol = _ok_solve_pallas(
+            nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors
+        )
+    else:
+        dist_pair = pairwise_km_from_xyz(nbr_xyz, nbr_xyz)
+        C, c0, sill = assemble_exp_cov(
+            dist_pair,
+            dist,
+            vario[..., 0],
+            vario[..., 1],
+            vario[..., 2],
+            mask,
+            jitter_frac=jitter_frac,
+        )
+        sol = ok_solve(C, c0, mask, sill, min_neighbors)
     resid_krig = jnp.sum(sol.weights * resid, axis=-1)
 
     normal = trend_cell + resid_krig

@@ -118,6 +118,7 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
             ridge=params.ridge,
             jitter_frac=params.chol_jitter,
             min_neighbors=params.min_neighbors,
+            use_pallas=params.use_pallas,
         )
 
         # Anomaly GWR gains: simpler design (elev + local x/y), per §2.13.
