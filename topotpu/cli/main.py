@@ -51,6 +51,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stations", type=int, default=250, help="synth-data station count")
     ap.add_argument("--grid", type=int, default=96, help="synth-data grid size")
+    ap.add_argument("--chunk-years", type=int, default=0,
+                    help="interp: years per production chunk (0 = single span)")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -85,7 +87,7 @@ def main(argv=None) -> int:
     if stage in ("krig-params", "all"):
         report("krig-params", steps.step_krig_params(cfg))
     if stage in ("interp", "all"):
-        report("interp", steps.step_interp(cfg))
+        report("interp", steps.step_interp(cfg, chunk_years=args.chunk_years))
     if stage in ("mosaic", "all"):
         report("mosaic", steps.step_mosaic(cfg))
 

@@ -266,7 +266,10 @@ def _station_set(path, days) -> "StationSet":
         )
 
 
-def step_interp(cfg: TopoConfig) -> dict:
+def step_interp(cfg: TopoConfig, chunk_years: int = 0) -> dict:
+    """chunk_years > 0 switches to the config-#5 chunked production driver
+    (mandatory for multi-decade spans: the device daily buffer scales with
+    the chunk length, not the full 1948-2016 span)."""
     from topotpu.dist.engine import TileEngine
 
     p = _paths(cfg)
@@ -276,7 +279,10 @@ def step_interp(cfg: TopoConfig) -> dict:
     out = {}
     for var in (C.TMIN, C.TMAX):
         stations = _station_set(p[f"serial_{var}"], days)
-        out[var] = eng.run(var, stations)
+        if chunk_years:
+            out[var] = eng.run_production(var, stations, chunk_years)
+        else:
+            out[var] = eng.run(var, stations)
     return out
 
 
@@ -310,16 +316,32 @@ def step_mosaic(cfg: TopoConfig) -> dict:
                 chunks=(min(32, days.ndays), cfg.tile_rows, cfg.tile_cols),
                 compression="gzip", compression_opts=1,
             )
+            # chunked layouts (run_production) have per-chunk subdirs whose
+            # time axes concatenate; unchunked tiles live in p["tiles"]
+            chunk_dirs = sorted(p["tiles"].glob("chunk_*_*"))
             n = 0
             for ts in tiling.land_tiles(rasters.landmask):
-                tf = p["tiles"] / f"{var}_tile{ts.tile_id:05d}.h5"
-                if not tf.exists():
-                    continue
+                name = f"{var}_tile{ts.tile_id:05d}.h5"
                 sl = (slice(ts.row0, ts.row0 + ts.nrows),
                       slice(ts.col0, ts.col0 + ts.ncols))
-                normal[(slice(None),) + sl] = read_var(tf, f"{var}_normal")
-                se[(slice(None),) + sl] = read_var(tf, f"{var}_se")
-                daily[(slice(None),) + sl] = read_var(tf, var)
+                if chunk_dirs:
+                    parts = [d / name for d in chunk_dirs]
+                    if not all(x.exists() for x in parts):
+                        continue  # a missing chunk would shift time offsets
+                    normal[(slice(None),) + sl] = read_var(parts[0], f"{var}_normal")
+                    se[(slice(None),) + sl] = read_var(parts[0], f"{var}_se")
+                    t0 = 0
+                    for part in parts:
+                        block = read_var(part, var)
+                        daily[t0 : t0 + block.shape[0], sl[0], sl[1]] = block
+                        t0 += block.shape[0]
+                else:
+                    tf = p["tiles"] / name
+                    if not tf.exists():
+                        continue
+                    normal[(slice(None),) + sl] = read_var(tf, f"{var}_normal")
+                    se[(slice(None),) + sl] = read_var(tf, f"{var}_se")
+                    daily[(slice(None),) + sl] = read_var(tf, var)
                 n += 1
             f.attrs["n_tiles"] = n
             f.attrs["cellsize"] = rasters.grid.cellsize

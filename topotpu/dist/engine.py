@@ -244,6 +244,48 @@ class TileEngine:
             },
         )
 
+    # ------------------------------------------------------- production run
+    def run_production(
+        self,
+        var: str,
+        stations: StationSet,
+        years_per_chunk: int = 4,
+        progress: bool = True,
+    ) -> int:
+        """Config #5 driver: the full multi-decade span in fixed-size year
+        chunks (uniform chunks share one compiled shape; the device daily
+        buffer stays ~years_per_chunk*31*12*C floats instead of the whole
+        1948-2016 span). Each chunk gets its own engine rooted at
+        out_dir/chunk_YYYY_YYYY with independent manifest resume; the mosaic
+        step concatenates chunk time axes."""
+        years = self.days.years
+        n_done = 0
+        for c0 in range(0, len(years), years_per_chunk):
+            span = years[c0 : c0 + years_per_chunk]
+            d0 = f"{span[0]}-01-01"
+            d1 = f"{span[-1]}-12-31"
+            from topotpu.core.dates import get_days_metadata
+
+            sub_days = get_days_metadata(d0, d1)
+            day_sel = (self.days.year >= span[0]) & (self.days.year <= span[-1])
+            sub_stations = dataclasses.replace(
+                stations, anoms=stations.anoms[:, day_sel]
+            )
+            sub = TileEngine(
+                self.config,
+                self.rasters,
+                sub_days,
+                self.out_dir / f"chunk_{span[0]}_{span[-1]}",
+                mesh=self.mesh,
+                margin_km=self.margin_km,
+            )
+            # reuse this engine's compiled step (same static shapes when the
+            # chunk has the same dpm; else the jit cache recompiles once)
+            sub._fn = self._fn
+            sub._shard = self._shard
+            n_done += sub.run(var, sub_stations, progress=progress)
+        return n_done
+
     # ------------------------------------------------------------- main loop
     def run(self, var: str, stations: StationSet, progress: bool = True) -> int:
         """Interpolate all pending tiles for one variable. Returns #tiles."""

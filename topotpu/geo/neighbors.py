@@ -44,6 +44,7 @@ def select_neighbors(
     stn_valid: jnp.ndarray,
     k: int,
     exclude_self_km: float = 0.0,
+    dist_matrix: jnp.ndarray | None = None,
 ) -> Neighborhood:
     """k nearest valid stations for each cell.
 
@@ -56,11 +57,16 @@ def select_neighbors(
         excluded — the leave-one-out mode used for cross-validation and for
         the per-station variogram-parameter build (SURVEY.md §3.3 excludes the
         target station from its own neighborhood).
+      dist_matrix: optional precomputed (C, S) distances — callers that
+        select per-month neighborhoods from the same geometry (the tile
+        facade) compute it once instead of 12 times.
 
     Returns a Neighborhood with masked padding where fewer than k valid
     stations exist.
     """
-    d = pairwise_great_circle_km(cell_lon, cell_lat, stn_lon, stn_lat)  # (C, S)
+    if dist_matrix is None:
+        dist_matrix = pairwise_great_circle_km(cell_lon, cell_lat, stn_lon, stn_lat)
+    d = dist_matrix  # (C, S)
     d = jnp.where(stn_valid[None, :], d, _INF)
     if exclude_self_km > 0.0:
         d = jnp.where(d <= exclude_self_km, _INF, d)

@@ -75,6 +75,13 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
     stn_x, stn_y = _local_xy_km(inputs.stn_lon, inputs.stn_lat, ref_lat)
     cell_x, cell_y = _local_xy_km(inputs.cell_lon, inputs.cell_lat, ref_lat)
 
+    from topotpu.geo.distance import pairwise_great_circle_km
+
+    # geometry is month-invariant; only validity masks change per month
+    d_all = pairwise_great_circle_km(
+        inputs.cell_lon, inputs.cell_lat, inputs.stn_lon, inputs.stn_lat
+    )
+
     normals, ses, oks, dailies, varios = [], [], [], [], []
     for m in range(12):
         nbr = select_neighbors(
@@ -84,6 +91,7 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
             inputs.stn_lat,
             inputs.stn_valid[:, m],
             k=params.k_neighbors,
+            dist_matrix=d_all,
         )
         take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
 
