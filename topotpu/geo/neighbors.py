@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from topotpu.geo.distance import pairwise_great_circle_km
+from topotpu.geo.distance import great_circle_km, pairwise_great_circle_km
 
 _INF = jnp.inf
 
@@ -45,6 +45,7 @@ def select_neighbors(
     k: int,
     exclude_self_km: float = 0.0,
     dist_matrix: jnp.ndarray | None = None,
+    cos_matrix: jnp.ndarray | None = None,
 ) -> Neighborhood:
     """k nearest valid stations for each cell.
 
@@ -64,6 +65,37 @@ def select_neighbors(
     Returns a Neighborhood with masked padding where fewer than k valid
     stations exist.
     """
+    S = stn_lon.shape[0]
+    if cos_matrix is not None or (dist_matrix is None and exclude_self_km == 0.0):
+        # Cheap selection metric: cosine similarity on the unit-sphere
+        # embedding — one MXU matmul instead of 33M trig evaluations.
+        # Ordering by cos == ordering by distance; meter-scale f32 ordering
+        # fuzz between near-duplicate stations is harmless for SELECTION
+        # (exact distances are recomputed below for the chosen k). The
+        # exclude_self mode needs exact metric resolution at ~1 m, which f32
+        # cos near 1.0 cannot provide — that mode takes the exact branch.
+        if cos_matrix is None:
+            from topotpu.geo.distance import unit_xyz
+
+            pa = unit_xyz(cell_lon, cell_lat)
+            pb = unit_xyz(stn_lon, stn_lat)
+            cos_matrix = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32)
+        score = jnp.where(stn_valid[None, :], cos_matrix, -jnp.inf)
+        if score.shape[-1] < k:
+            pad = jnp.full(score.shape[:-1] + (k - score.shape[-1],),
+                           -jnp.inf, score.dtype)
+            score = jnp.concatenate([score, pad], axis=-1)
+        top_score, idx = lax.top_k(score, k)
+        idx = jnp.minimum(idx, S - 1)
+        mask = jnp.isfinite(top_score)
+        # exact distances for the selected neighborhoods only (C, k)
+        dist = great_circle_km(
+            cell_lon[:, None], cell_lat[:, None],
+            jnp.take(stn_lon, idx), jnp.take(stn_lat, idx),
+        )
+        dist = jnp.where(mask, dist, 0.0)
+        return Neighborhood(idx=idx.astype(jnp.int32), dist=dist, mask=mask)
+
     if dist_matrix is None:
         dist_matrix = pairwise_great_circle_km(cell_lon, cell_lat, stn_lon, stn_lat)
     d = dist_matrix  # (C, S)

@@ -62,3 +62,18 @@ def predict_daily(
     One MXU matmul replaces D per-cell lstsq solves.
     """
     return jnp.dot(G, stn_anoms, preferred_element_type=G.dtype)
+
+
+def predict_daily_gathered(
+    gains: jnp.ndarray,      # (C, k)
+    idx: jnp.ndarray,        # (C, k)
+    mask: jnp.ndarray,       # (C, k)
+    stn_anoms: jnp.ndarray,  # (S, D)
+) -> jnp.ndarray:
+    """Scatter-free variant: gather each neighborhood's day rows and
+    contract. Trades the (C, S) scatter-add (slow irregular writes on TPU)
+    for a (C, k, D) gather + einsum. Preferable when k*D stays modest
+    (single-year chunks); the tile facade picks per configuration."""
+    g = jnp.where(mask, gains, 0.0)
+    rows = jnp.take(stn_anoms, idx, axis=0)          # (C, k, D)
+    return jnp.einsum("ck,ckd->cd", g, rows)

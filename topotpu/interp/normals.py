@@ -60,25 +60,19 @@ def _use_pallas(flag: str) -> bool:
 def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
     """Route through the fused Pallas kernel (kernels/pallas_krig.py).
 
-    Builds the pair-distance tensor directly in the kernel's batch-last
-    (k, k, C) layout and pads the cell batch to a multiple of 128 lanes.
+    Ships the neighborhoods' unit-sphere coordinates in the kernel's
+    (3k, C) batch-last layout — pair distances are computed in-kernel —
+    and pads the cell batch to a multiple of 128 lanes.
     """
-    from topotpu.geo.distance import EARTH_RADIUS_KM
-    from topotpu.kernels.pallas_krig import LANES, ok_solve_fused
+    from topotpu.kernels.pallas_krig import ok_solve_fused_xyz
 
     C_cells, k = dist.shape
-    xt = jnp.moveaxis(nbr_xyz, 0, -1)  # (k, 3, C)
-    d2 = None
-    for i in range(3):
-        diff = xt[:, i, :][:, None, :] - xt[:, i, :][None, :, :]
-        d2 = diff * diff if d2 is None else d2 + diff * diff
-    dist_pair_t = 2.0 * EARTH_RADIUS_KM * jnp.arcsin(
-        jnp.clip(0.5 * jnp.sqrt(d2), 0.0, 1.0)
-    )  # (k, k, C)
+    # (C, k, 3) -> (3, k, C) -> (3k, C), coordinate-major rows
+    xyz3k = jnp.transpose(nbr_xyz, (2, 1, 0)).reshape(3 * k, C_cells)
 
-    pad = (-C_cells) % LANES
+    pad = (-C_cells) % 128
     if pad:
-        dist_pair_t = jnp.pad(dist_pair_t, ((0, 0), (0, 0), (0, pad)))
+        xyz3k = jnp.pad(xyz3k, ((0, 0), (0, pad)))
         dist_t = jnp.pad(dist.T, ((0, 0), (0, pad)))
         mask_t = jnp.pad(mask.T.astype(jnp.float32), ((0, 0), (0, pad)))
         vario_p = jnp.pad(vario, ((0, pad), (0, 0)), constant_values=1.0)
@@ -86,8 +80,8 @@ def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
         dist_t = dist.T
         mask_t = mask.T.astype(jnp.float32)
         vario_p = vario
-    w_t, var, ok = ok_solve_fused(
-        dist_pair_t, dist_t, mask_t,
+    w_t, var, ok = ok_solve_fused_xyz(
+        xyz3k, dist_t, mask_t,
         vario_p[..., 0], vario_p[..., 1], vario_p[..., 2],
         jitter_frac=jitter_frac, min_neighbors=min_neighbors,
     )

@@ -75,9 +75,12 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
     stn_x, stn_y = _local_xy_km(inputs.stn_lon, inputs.stn_lat, ref_lat)
     cell_x, cell_y = _local_xy_km(inputs.cell_lon, inputs.cell_lat, ref_lat)
 
+    # exact distance matrix hoisted across months (geometry is
+    # month-invariant; per-month work is masked top_k only). A cheap-cosine
+    # selection variant exists in select_neighbors but measured slower here:
+    # it re-gathers coordinates to recompute exact distances per month.
     from topotpu.geo.distance import pairwise_great_circle_km
 
-    # geometry is month-invariant; only validity masks change per month
     d_all = pairwise_great_circle_km(
         inputs.cell_lon, inputs.cell_lat, inputs.stn_lon, inputs.stn_lat
     )
@@ -144,8 +147,19 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
             weight_kernel=params.weight_kernel,
             ridge=params.ridge,
         )
-        G = scatter_gains(gains, nbr.idx, nbr.mask, S)  # (C, S)
-        anom = predict_daily(G, inputs.stn_anoms[m])     # (C, dpm)
+        dpm = inputs.stn_anoms.shape[-1]
+        if dpm <= 64:
+            # short day axes: the (C,k,dpm) gather+einsum beats the (C,S)
+            # scatter-add (irregular TPU writes) — measured 47 vs 63 ms for
+            # a 65k-cell month
+            from topotpu.interp.anoms import predict_daily_gathered
+
+            anom = predict_daily_gathered(
+                gains, nbr.idx, nbr.mask, inputs.stn_anoms[m]
+            )
+        else:
+            G = scatter_gains(gains, nbr.idx, nbr.mask, S)  # (C, S)
+            anom = predict_daily(G, inputs.stn_anoms[m])     # (C, dpm)
 
         daily = res.normal[:, None] + anom
         normals.append(res.normal)
