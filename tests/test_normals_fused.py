@@ -1,0 +1,70 @@
+"""Whole-chain fused normals kernel vs the jnp krig_normals path (interpreter
+mode on CPU; compiles natively on TPU via bench/production)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from topotpu.geo.distance import unit_xyz
+from topotpu.geo.neighbors import select_neighbors
+from topotpu.interp.normals import krig_normals
+from topotpu.io.synthetic import make_world
+
+
+def _gathered_inputs(rng, C=40, k=16):
+    world = make_world(rng, nrows=30, ncols=30, n_stations=80, ndays=30)
+    rows = rng.integers(0, 30, C)
+    cols = rng.integers(0, 30, C)
+    lon, lat = world.grid.cell_lonlat(rows, cols)
+    valid = np.ones(80, bool)
+    valid[5] = False
+    nbr = select_neighbors(
+        jnp.asarray(lon, jnp.float32), jnp.asarray(lat, jnp.float32),
+        jnp.asarray(world.stn_lon, jnp.float32),
+        jnp.asarray(world.stn_lat, jnp.float32),
+        jnp.asarray(valid), k=k,
+    )
+    take = lambda a: jnp.take(jnp.asarray(a, jnp.float32), nbr.idx, axis=0)
+    xyz = unit_xyz(
+        jnp.asarray(world.stn_lon, jnp.float32),
+        jnp.asarray(world.stn_lat, jnp.float32),
+    )
+    nbr_cov = jnp.stack(
+        [take(world.stn_elev), take(world.stn_tdi), take(world.stn_lst[:, 0])],
+        axis=-1,
+    )
+    cell_cov = jnp.stack(
+        [
+            jnp.asarray(world.elev[rows, cols], jnp.float32),
+            jnp.asarray(world.tdi[rows, cols], jnp.float32),
+            jnp.asarray(world.lst[0, rows, cols], jnp.float32),
+        ],
+        axis=-1,
+    )
+    vario = np.tile(np.array([0.05, 1.0, 40.0], np.float32), (80, 1))
+    return dict(
+        dist=nbr.dist, mask=nbr.mask,
+        nbr_xyz=jnp.take(xyz, nbr.idx, axis=0),
+        nbr_cov=nbr_cov, cell_cov=cell_cov,
+        nbr_norm=take(world.stn_norm[:, 0]),
+        nbr_vario=jnp.take(jnp.asarray(vario), nbr.idx, axis=0),
+    )
+
+
+def test_fused_normals_matches_jnp(rng):
+    args = _gathered_inputs(rng)
+    ref = krig_normals(**args, use_pallas="off")
+    got = krig_normals(**args, use_pallas="on")  # interpret mode on CPU
+
+    np.testing.assert_allclose(
+        np.asarray(got.normal), np.asarray(ref.normal), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.variance), np.asarray(ref.variance), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.trend), np.asarray(ref.trend), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.vario), np.asarray(ref.vario), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))

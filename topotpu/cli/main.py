@@ -44,7 +44,8 @@ def main(argv=None) -> int:
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("stage", choices=[
         "synth-data", "download", "build-db", "qa", "homog", "infill",
-        "krig-params", "interp", "mosaic", "all", "xval-interp", "xval-infill",
+        "krig-params", "interp", "mosaic", "validate", "all",
+        "xval-interp", "xval-infill", "optim-nnghs",
     ])
     ap.add_argument("--config", help="TopoConfig JSON path")
     ap.add_argument("--data-dir", help="override config.data_dir")
@@ -90,6 +91,10 @@ def main(argv=None) -> int:
         report("interp", steps.step_interp(cfg, chunk_years=args.chunk_years))
     if stage in ("mosaic", "all"):
         report("mosaic", steps.step_mosaic(cfg))
+    if stage in ("validate", "all"):
+        report("validate", steps.step_validate(cfg))
+    if stage == "optim-nnghs":
+        report("optim-nnghs", steps.step_optim_nnghs(cfg))
 
     if stage == "xval-interp":
         import numpy as np

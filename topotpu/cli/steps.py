@@ -286,6 +286,75 @@ def step_interp(cfg: TopoConfig, chunk_years: int = 0) -> dict:
     return out
 
 
+# -------------------------------------------------------- stage: validate
+
+
+def step_validate(cfg: TopoConfig) -> dict:
+    """Output integrity check (the rebuild's failure-detection pass,
+    SURVEY §5): every land cell in each mosaic must carry finite normals,
+    finite SE, and a full daily series; reports per-variable coverage."""
+    import h5py
+
+    p = _paths(cfg)
+    rasters = RasterStack.load(p["rasters"])
+    land = rasters.landmask
+    out = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"mosaic_{var}"]
+        if not path.exists():
+            out[var] = {"status": "missing"}
+            continue
+        with h5py.File(path) as f:
+            normal = f["normal"][...]
+            se = f["se"][...]
+            d0 = f[var][0]
+            dm = f[var][f[var].shape[0] // 2]
+        cov_n = float(np.isfinite(normal[:, land]).mean())
+        cov_se = float(np.isfinite(se[:, land]).mean())
+        cov_d = float((np.isfinite(d0) & np.isfinite(dm))[land].mean())
+        ok = cov_n > 0.99 and cov_se > 0.99 and cov_d > 0.99
+        out[var] = {
+            "status": "ok" if ok else "incomplete",
+            "normal_coverage": round(cov_n, 4),
+            "se_coverage": round(cov_se, 4),
+            "daily_coverage": round(cov_d, 4),
+        }
+    return out
+
+
+# ----------------------------------------------------- stage: optim-nnghs
+
+
+def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48)) -> dict:
+    """Neighborhood-size optimization via LOO x-val (SURVEY §2.16). Regions
+    are coarse 5-degree latitude bands standing in for climate divisions."""
+    from topotpu.interp.xval import optimize_nnghs
+
+    p = _paths(cfg)
+    with StationDB(p["serial_tmin"]) as db:
+        vario = np.stack(
+            [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
+            axis=-1,
+        )
+        bad = db.stn(C.BAD).astype(bool)
+        lat = db.stn(C.LAT)
+        regions = (lat // 5.0).astype(int)
+        out = optimize_nnghs(
+            db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
+            db.stn(C.LST), db.stn(C.NORM), vario,
+            np.repeat(~bad[:, None], 12, 1),
+            candidates=candidates,
+            region_labels=regions,
+            base_params=cfg.interp,
+        )
+    return {
+        "best_k_by_region": {str(k): v for k, v in out["best"].items()},
+        "global_mae_by_k": {
+            str(k): float(v.mean()) for k, v in out["mae"].items()
+        },
+    }
+
+
 # ---------------------------------------------------------- stage: mosaic
 
 

@@ -92,6 +92,57 @@ def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
     )
 
 
+def _krig_normals_fused(
+    dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
+    ridge, jitter_frac, min_neighbors,
+) -> NormalsResult:
+    """Whole-chain fusion via kernels/pallas_krig.krig_normals_fused —
+    weights/design/WLS/variogram-interp/kriging in one kernel, no
+    intermediate HBM tensors."""
+    from topotpu.kernels.pallas_krig import krig_normals_fused
+
+    C_cells, k = dist.shape
+    q = nbr_cov.shape[-1]
+    t2 = lambda a: a.T  # (C, k) -> (k, C)  # noqa: E731
+    t3 = lambda a: jnp.transpose(a, (2, 1, 0)).reshape(  # noqa: E731
+        a.shape[2] * k, C_cells
+    )  # (C, k, q) -> (qk, C), covariate-major rows
+
+    xyz3k = t3(nbr_xyz)
+    covs = t3(nbr_cov)
+    vario = t3(nbr_vario)
+    cell8 = jnp.zeros((8, C_cells), dist.dtype).at[:q, :].set(cell_cov.T)
+
+    pad = (-C_cells) % 128
+    if pad:
+        padc = lambda a: jnp.pad(a, ((0, 0), (0, pad)))  # noqa: E731
+        xyz3k, covs, vario, cell8 = map(padc, (xyz3k, covs, vario, cell8))
+        dist_t = padc(dist.T)
+        mask_t = padc(mask.T.astype(jnp.float32))
+        norm_t = padc(nbr_norm.T)
+    else:
+        dist_t = dist.T
+        mask_t = mask.T.astype(jnp.float32)
+        norm_t = nbr_norm.T
+
+    out = krig_normals_fused(
+        xyz3k, dist_t, mask_t, covs, cell8, norm_t, vario,
+        ridge=ridge, jitter_frac=jitter_frac, min_neighbors=min_neighbors,
+        # forcing use_pallas="on" off-TPU runs the interpreter (tests only)
+        interpret=jax.default_backend() != "tpu",
+    )
+    out = out[:, :C_cells]
+    var = out[1]
+    return NormalsResult(
+        normal=out[0],
+        variance=var,
+        se=jnp.sqrt(jnp.maximum(var, 0.0)),
+        trend=out[3],
+        ok=out[2] > 0.5,
+        vario=jnp.stack([out[4], out[5], out[6]], axis=-1),
+    )
+
+
 def krig_normals(
     dist: jnp.ndarray,
     mask: jnp.ndarray,
@@ -115,6 +166,12 @@ def krig_normals(
       nbr_norm: (C, k) neighbor station monthly normals.
       nbr_vario: (C, k, 3) per-station (nugget, psill, range).
     """
+    if _use_pallas(use_pallas) and weight_kernel == "bisquare":
+        return _krig_normals_fused(
+            dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
+            ridge, jitter_frac, min_neighbors,
+        )
+
     w = distance_weights(dist, mask, weight_kernel)
 
     # --- GWR trend (the reference's trend surface) ---

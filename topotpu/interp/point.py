@@ -24,7 +24,7 @@ import numpy as np
 from topotpu.core.config import InterpParams
 from topotpu.core.dates import DaysMetadata
 from topotpu.geo.distance import unit_xyz
-from topotpu.geo.neighbors import select_neighbors
+from topotpu.geo.neighbors import Neighborhood, select_neighbors
 from topotpu.interp.anoms import anomaly_gain_rows, predict_daily, scatter_gains
 from topotpu.interp.normals import krig_normals, NormalsResult
 
@@ -133,15 +133,24 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
         )
 
         # Anomaly GWR gains: simpler design (elev + local x/y), per §2.13.
+        # The reference tunes normals/anomaly neighborhood sizes separately
+        # (mpi_optim_nstns_norms vs _anoms, SURVEY §2.16); top_k output is
+        # distance-sorted, so the anomaly neighborhood is a free prefix
+        # slice of the normals one.
+        ka = min(params.k_neighbors_anom, params.k_neighbors)
+        nbr_a = Neighborhood(
+            idx=nbr.idx[:, :ka], dist=nbr.dist[:, :ka], mask=nbr.mask[:, :ka]
+        )
+        take_a = lambda a: jnp.take(a, nbr_a.idx, axis=0)  # noqa: E731
         nbr_cov_anom = jnp.stack(
-            [take(inputs.stn_elev), take(stn_x), take(stn_y)], axis=-1
+            [take_a(inputs.stn_elev), take_a(stn_x), take_a(stn_y)], axis=-1
         )
         cell_cov_anom = jnp.stack(
             [inputs.cell_elev, cell_x, cell_y], axis=-1
         )
         gains = anomaly_gain_rows(
-            nbr.dist,
-            nbr.mask,
+            nbr_a.dist,
+            nbr_a.mask,
             nbr_cov_anom,
             cell_cov_anom,
             weight_kernel=params.weight_kernel,
@@ -155,11 +164,11 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
             from topotpu.interp.anoms import predict_daily_gathered
 
             anom = predict_daily_gathered(
-                gains, nbr.idx, nbr.mask, inputs.stn_anoms[m]
+                gains, nbr_a.idx, nbr_a.mask, inputs.stn_anoms[m]
             )
         else:
-            G = scatter_gains(gains, nbr.idx, nbr.mask, S)  # (C, S)
-            anom = predict_daily(G, inputs.stn_anoms[m])     # (C, dpm)
+            G = scatter_gains(gains, nbr_a.idx, nbr_a.mask, S)  # (C, S)
+            anom = predict_daily(G, inputs.stn_anoms[m])         # (C, dpm)
 
         daily = res.normal[:, None] + anom
         normals.append(res.normal)

@@ -75,16 +75,9 @@ def _krig_kernel_xyz(xyz_ref, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
                 jitter_frac=jitter_frac, min_neighbors=min_neighbors)
 
 
-def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
-                Cs, y0, y1, *, k: int, lanes: int, jitter_frac: float,
-                min_neighbors: int):
-    nug = nug_ref[0, :]                      # (lanes,)
-    ps = ps_ref[0, :]
-    rg = jnp.maximum(rg_ref[0, :], 1e-3)
-    m = m_ref[:, :]                          # (k, lanes) 0/1
+def _assemble_C(dp, m, nug, ps, rg, jitter_frac, k):
+    """Fused covariance assembly (kernels/cholesky.py::assemble_exp_cov)."""
     sill = nug + ps
-
-    # ---- fused covariance assembly (kernels/cholesky.py::assemble_exp_cov)
     C = ps[None, None, :] * jnp.exp(-dp / rg[None, None, :])
     pair = m[:, None, :] * m[None, :, :]
     C = C * pair
@@ -93,26 +86,22 @@ def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
     cols3 = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
     eyef = (rows3 == cols3).astype(jnp.float32)        # (k, k, 1)
     diag_add = m * (nug + jitter_frac * sill)[None, :] + (1.0 - m)
-    C = C + eyef * diag_add[:, None, :]
-    Cs[:, :, :] = C
+    return C + eyef * diag_add[:, None, :]
 
-    c0 = ps[None, :] * jnp.exp(-d0_ref[:, :] / rg[None, :]) * m  # (k, 128)
-    y0[:, :] = c0
-    y1[:, :] = m
 
-    # ---- in-place right-looking Cholesky, unrolled over k (static) -------
+def _chol_and_two_solves(Cs, y0, y1, k):
+    """In-place Cholesky + forward/back substitution for two rhs, unrolled
+    over k (static) — every step is one VPU op over all lanes."""
     for j in range(k):
-        dj = jnp.sqrt(jnp.maximum(Cs[j, j, :], 1e-20))   # (128,)
+        dj = jnp.sqrt(jnp.maximum(Cs[j, j, :], 1e-20))
         inv = 1.0 / dj
         Cs[j, j, :] = dj
         if j + 1 < k:
-            col = Cs[j + 1 :, j, :] * inv[None, :]       # (k-1-j, 128)
+            col = Cs[j + 1 :, j, :] * inv[None, :]
             Cs[j + 1 :, j, :] = col
             Cs[j + 1 :, j + 1 :, :] = (
                 Cs[j + 1 :, j + 1 :, :] - col[:, None, :] * col[None, :, :]
             )
-
-    # ---- forward substitution L y = rhs (two rhs) -------------------------
     for j in range(k):
         inv = 1.0 / Cs[j, j, :]
         a_j = y0[j, :] * inv
@@ -123,8 +112,6 @@ def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
             Lcol = Cs[j + 1 :, j, :]
             y0[j + 1 :, :] = y0[j + 1 :, :] - Lcol * a_j[None, :]
             y1[j + 1 :, :] = y1[j + 1 :, :] - Lcol * u_j[None, :]
-
-    # ---- back substitution L^T x = y --------------------------------------
     for j in reversed(range(k)):
         inv = 1.0 / Cs[j, j, :]
         a_j = y0[j, :] * inv
@@ -136,7 +123,9 @@ def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
             y0[:j, :] = y0[:j, :] - Lrow * a_j[None, :]
             y1[:j, :] = y1[:j, :] - Lrow * u_j[None, :]
 
-    # ---- SK -> OK reduction (kernels/cholesky.py::ok_solve) ---------------
+
+def _ok_reduce(y0, y1, c0, m, sill, min_neighbors):
+    """SK -> OK reduction (kernels/cholesky.py::ok_solve)."""
     a = y0[:, :] * m
     u = y1[:, :] * m
     sum_a = jnp.sum(a, axis=0)
@@ -146,11 +135,210 @@ def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
     t = (1.0 - sum_a) / jnp.where(ok, sum_u, 1.0)
     lam = a + t[None, :] * u
     var = jnp.maximum(sill - jnp.sum(lam * c0, axis=0) + t, 0.0)
+    return lam, var, ok
+
+
+def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
+                Cs, y0, y1, *, k: int, lanes: int, jitter_frac: float,
+                min_neighbors: int):
+    nug = nug_ref[0, :]                      # (lanes,)
+    ps = ps_ref[0, :]
+    rg = jnp.maximum(rg_ref[0, :], 1e-3)
+    m = m_ref[:, :]                          # (k, lanes) 0/1
+    sill = nug + ps
+
+    Cs[:, :, :] = _assemble_C(dp, m, nug, ps, rg, jitter_frac, k)
+    c0 = ps[None, :] * jnp.exp(-d0_ref[:, :] / rg[None, :]) * m  # (k, lanes)
+    y0[:, :] = c0
+    y1[:, :] = m
+    _chol_and_two_solves(Cs, y0, y1, k)
+    lam, var, ok = _ok_reduce(y0, y1, c0, m, sill, min_neighbors)
 
     out_ref[0:k, :] = lam
     out_ref[k, :] = var
     out_ref[k + 1, :] = ok.astype(jnp.float32)
     out_ref[k + 2 :, :] = jnp.zeros((_OUT_EXTRA - 2, lanes), jnp.float32)
+
+
+def _solve_spd_small(A, b, p):
+    """Unrolled Cholesky solve for a tiny SPD system held as per-lane scalar
+    arrays: A is a lower-triangular list-of-lists a[i][j] (i >= j), b a list
+    of p arrays. Returns x as a list of p arrays. Pure straight-line code."""
+    L = [[None] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i + 1):
+            s = A[i][j]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * p
+    for i in range(p):
+        s = b[i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = s / L[i][i]
+    x = [None] * p
+    for i in reversed(range(p)):
+        s = y[i]
+        for t in range(i + 1, p):
+            s = s - L[t][i] * x[t]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
+                    vario_ref, out_ref, Cs, y0, y1, *, k: int, q: int,
+                    lanes: int, ridge: float, jitter_frac: float,
+                    min_neighbors: int):
+    """The WHOLE krig_normals per-cell chain in one kernel: bisquare
+    weights -> point-centered scaled GWR design -> (q+1)x(q+1) WLS trend ->
+    residuals -> distance-weighted variogram-parameter interpolation ->
+    in-kernel pair distances -> Cholesky kriging solve -> OK reduction ->
+    trend + kriged residual. Mirrors interp/normals.py::krig_normals
+    formula-for-formula (parity-tested)."""
+    m = m_ref[:, :]                              # (k, lanes)
+    d = dist_ref[:, :]
+    # --- bisquare weights (geo.neighbors.distance_weights) ---
+    bw = jnp.maximum(jnp.max(jnp.where(m > 0.0, d, 0.0), axis=0), 1e-3)
+    r = jnp.minimum(d / bw[None, :], 1.0)
+    w = jnp.maximum((1.0 - r * r) ** 2, 1e-4) * m
+    wsum = jnp.sum(w, axis=0) + 1e-30
+
+    # --- centered scaled design (kernels.wls.center_design) ---
+    p = q + 1
+    dn = []
+    for c in range(q):
+        dc = cov_ref[c * k : (c + 1) * k, :] - cell_ref[c, :][None, :]
+        mean = jnp.sum(w * dc, axis=0) / wsum
+        var = jnp.sum(w * (dc - mean[None, :]) ** 2, axis=0) / wsum
+        scale = jnp.sqrt(var) + 1e-6
+        dn.append(dc / scale[None, :])
+    X = [jnp.ones_like(m)] + dn                  # p columns, each (k, lanes)
+
+    # --- WLS normal equations (kernels.wls.batched_wls) ---
+    A = [[None] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i + 1):
+            A[i][j] = jnp.sum(w * X[i] * X[j], axis=0)
+    diag_mean = sum(A[i][i] for i in range(p)) / p
+    reg = ridge * diag_mean + 1e-30
+    for i in range(p):
+        A[i][i] = A[i][i] + reg
+    norm = norm_ref[:, :]
+    b = [jnp.sum(w * X[i] * norm, axis=0) for i in range(p)]
+    beta = _solve_spd_small(A, b, p)
+
+    trend = beta[0]                              # x0 = e0 after centering
+    trend_at = beta[0][None, :] * X[0]
+    for i in range(1, p):
+        trend_at = trend_at + beta[i][None, :] * X[i]
+    resid = (norm - trend_at) * m
+
+    # --- variogram params interpolated to the cell (interp_cell_variogram)
+    nug = jnp.maximum(
+        jnp.sum(w * vario_ref[0:k, :], axis=0) / wsum, 0.0
+    )
+    ps = jnp.maximum(
+        jnp.sum(w * vario_ref[k : 2 * k, :], axis=0) / wsum, 1e-6
+    )
+    rg = jnp.maximum(
+        jnp.sum(w * vario_ref[2 * k : 3 * k, :], axis=0) / wsum, 1e-2
+    )
+    rg = jnp.maximum(rg, 1e-3)
+    sill = nug + ps
+
+    # --- pair distances from xyz + kriging solve ---
+    d2 = None
+    for c in range(3):
+        v = xyz_ref[c * k : (c + 1) * k, :]
+        diff = v[:, None, :] - v[None, :, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    half = jnp.clip(0.5 * jnp.sqrt(d2), 0.0, 1.0)
+    h2 = half * half
+    asin_h = half * (
+        1.0 + h2 * (1.0 / 6.0 + h2 * (3.0 / 40.0 + h2 * (15.0 / 336.0)))
+    )
+    dp = 2.0 * EARTH_RADIUS_KM * asin_h
+
+    Cs[:, :, :] = _assemble_C(dp, m, nug, ps, rg, jitter_frac, k)
+    c0 = ps[None, :] * jnp.exp(-d / rg[None, :]) * m
+    y0[:, :] = c0
+    y1[:, :] = m
+    _chol_and_two_solves(Cs, y0, y1, k)
+    lam, var_k, ok = _ok_reduce(y0, y1, c0, m, sill, min_neighbors)
+
+    normal = trend + jnp.sum(lam * resid, axis=0)
+    out_ref[0, :] = normal
+    out_ref[1, :] = var_k
+    out_ref[2, :] = ok.astype(jnp.float32)
+    out_ref[3, :] = trend
+    out_ref[4, :] = nug
+    out_ref[5, :] = ps
+    out_ref[6, :] = rg
+    out_ref[7, :] = jnp.zeros((lanes,), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ridge", "jitter_frac", "min_neighbors", "interpret"),
+)
+def krig_normals_fused(
+    xyz3k: jnp.ndarray,    # (3k, B) unit-sphere coords, c-major
+    dist_t: jnp.ndarray,   # (k, B) exact neighbor distances
+    mask_t: jnp.ndarray,   # (k, B) f32 0/1
+    covs_t: jnp.ndarray,   # (qk, B) trend covariates, covariate-major
+    cell_t: jnp.ndarray,   # (8, B) cell covariates in rows 0..q-1
+    norm_t: jnp.ndarray,   # (k, B) station monthly normals
+    vario_t: jnp.ndarray,  # (3k, B) nugget rows, psill rows, range rows
+    ridge: float = 1e-6,
+    jitter_frac: float = 1e-5,
+    min_neighbors: int = 3,
+    interpret: bool = False,
+):
+    """Whole-krig_normals fusion. Returns an (8, B) row-stack:
+    [normal, variance, ok, trend, nugget, psill, range, 0]."""
+    k, B = dist_t.shape
+    q = covs_t.shape[0] // k
+    lanes = next((l for l in (LANES, 256, 128) if B % l == 0), None)
+    assert lanes, f"batch {B} not a multiple of 128"
+    grid = (B // lanes,)
+    kern = functools.partial(
+        _normals_kernel, k=k, q=q, lanes=lanes, ridge=ridge,
+        jitter_frac=jitter_frac, min_neighbors=min_neighbors,
+    )
+    col = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[col(3 * k), col(k), col(k), col(q * k), col(8), col(k),
+                  col(3 * k)],
+        out_specs=col(8),
+        out_shape=jax.ShapeDtypeStruct((8, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((k, k, lanes), jnp.float32),
+            pltpu.VMEM((k, lanes), jnp.float32),
+            pltpu.VMEM((k, lanes), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(B * (k**3 / 3 + 10 * k**2 + 40 * k)),
+            bytes_accessed=int(B * (9 * k + 16) * 4),
+            transcendentals=int(B * (k * k + k)),
+        ),
+        interpret=interpret,
+    )(
+        xyz3k.astype(jnp.float32),
+        dist_t.astype(jnp.float32),
+        mask_t.astype(jnp.float32),
+        covs_t.astype(jnp.float32),
+        cell_t.astype(jnp.float32),
+        norm_t.astype(jnp.float32),
+        vario_t.astype(jnp.float32),
+    )
 
 
 def _launch(entry, first_arg, first_block_rows3, k, B,
