@@ -143,12 +143,14 @@ def homogenize_network(
     M = monthly.shape[1]
     cal_month = (keys % 12).astype(int)
 
-    # anomalies vs station monthly climatology
+    # anomalies vs station monthly climatology (count-guarded nanmean)
     clim = np.full((S, 12), np.nan, np.float32)
     for m in range(12):
         sel = cal_month == m
-        with np.errstate(invalid="ignore"):
-            clim[:, m] = np.nanmean(monthly[:, sel], axis=1)
+        block = monthly[:, sel]
+        n = np.isfinite(block).sum(axis=1)
+        s = np.nansum(np.where(np.isfinite(block), block, 0.0), axis=1)
+        clim[:, m] = np.where(n > 0, s / np.maximum(n, 1), np.nan)
     anom = monthly - clim[:, cal_month]
 
     # pair selection: most-correlated neighbors on monthly anomalies
