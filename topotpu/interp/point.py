@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -157,10 +158,24 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
             ridge=params.ridge,
         )
         dpm = inputs.stn_anoms.shape[-1]
-        if dpm <= 64:
+        from topotpu.kernels.pallas_scatter import CELLS_BLOCK
+
+        if (
+            jax.default_backend() == "tpu"
+            and params.use_pallas != "off"
+            and C % CELLS_BLOCK == 0
+        ):
+            # fused VMEM scatter + MXU matmul: ~30x less HBM traffic than
+            # either XLA variant (see kernels/pallas_scatter.py)
+            from topotpu.kernels.pallas_scatter import scatter_daily_matmul
+
+            anom = scatter_daily_matmul(
+                nbr_a.idx.T, gains.T, nbr_a.mask.T.astype(dtype),
+                inputs.stn_anoms[m],
+            )
+        elif dpm <= 64:
             # short day axes: the (C,k,dpm) gather+einsum beats the (C,S)
-            # scatter-add (irregular TPU writes) — measured 47 vs 63 ms for
-            # a 65k-cell month
+            # scatter-add (irregular TPU writes)
             from topotpu.interp.anoms import predict_daily_gathered
 
             anom = predict_daily_gathered(
