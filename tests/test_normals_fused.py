@@ -50,6 +50,31 @@ def _gathered_inputs(rng, C=40, k=16):
     )
 
 
+def test_fused_normals_and_gains_match_jnp(rng):
+    from topotpu.interp.normals import krig_normals_and_gains
+
+    args = _gathered_inputs(rng)
+    anom_cov = args["nbr_cov"][..., :2]
+    cell_anom_cov = args["cell_cov"][..., :2]
+    ref_res, ref_g = krig_normals_and_gains(
+        **args, anom_cov=anom_cov, cell_anom_cov=cell_anom_cov,
+        use_pallas="off",
+    )
+    got_res, got_g = krig_normals_and_gains(
+        **args, anom_cov=anom_cov, cell_anom_cov=cell_anom_cov,
+        use_pallas="on",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_res.normal), np.asarray(ref_res.normal),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
+    )
+    # gains reproduce constants (sum to 1 with an intercept design)
+    np.testing.assert_allclose(np.asarray(got_g).sum(-1), 1.0, atol=2e-3)
+
+
 def test_fused_normals_matches_jnp(rng):
     args = _gathered_inputs(rng)
     ref = krig_normals(**args, use_pallas="off")

@@ -95,28 +95,43 @@ def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
 def _krig_normals_fused(
     dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
     ridge, jitter_frac, min_neighbors,
-) -> NormalsResult:
+    anom_cov=None, cell_anom_cov=None,
+):
     """Whole-chain fusion via kernels/pallas_krig.krig_normals_fused —
-    weights/design/WLS/variogram-interp/kriging in one kernel, no
-    intermediate HBM tensors."""
+    weights/design/WLS/variogram-interp/kriging (+ optional anomaly-GWR
+    gain rows) in one kernel, no intermediate HBM tensors.
+
+    Returns (NormalsResult, gains (C, k) or None)."""
     from topotpu.kernels.pallas_krig import krig_normals_fused
 
     C_cells, k = dist.shape
     q = nbr_cov.shape[-1]
-    t2 = lambda a: a.T  # (C, k) -> (k, C)  # noqa: E731
     t3 = lambda a: jnp.transpose(a, (2, 1, 0)).reshape(  # noqa: E731
         a.shape[2] * k, C_cells
     )  # (C, k, q) -> (qk, C), covariate-major rows
 
+    want_gains = anom_cov is not None
+    if not want_gains:  # minimal dummy anomaly design (its output is unused)
+        anom_cov = nbr_cov[..., :1]
+        cell_anom_cov = cell_cov[..., :1]
+    qa = anom_cov.shape[-1]
+
     xyz3k = t3(nbr_xyz)
     covs = t3(nbr_cov)
     vario = t3(nbr_vario)
-    cell8 = jnp.zeros((8, C_cells), dist.dtype).at[:q, :].set(cell_cov.T)
+    acovs = t3(anom_cov)
+    cell8 = (
+        jnp.zeros((8, C_cells), dist.dtype)
+        .at[:q, :].set(cell_cov.T)
+        .at[q : q + qa, :].set(cell_anom_cov.T)
+    )
 
     pad = (-C_cells) % 128
     if pad:
         padc = lambda a: jnp.pad(a, ((0, 0), (0, pad)))  # noqa: E731
-        xyz3k, covs, vario, cell8 = map(padc, (xyz3k, covs, vario, cell8))
+        xyz3k, covs, vario, cell8, acovs = map(
+            padc, (xyz3k, covs, vario, cell8, acovs)
+        )
         dist_t = padc(dist.T)
         mask_t = padc(mask.T.astype(jnp.float32))
         norm_t = padc(nbr_norm.T)
@@ -126,14 +141,14 @@ def _krig_normals_fused(
         norm_t = nbr_norm.T
 
     out = krig_normals_fused(
-        xyz3k, dist_t, mask_t, covs, cell8, norm_t, vario,
+        xyz3k, dist_t, mask_t, covs, cell8, norm_t, vario, acovs,
         ridge=ridge, jitter_frac=jitter_frac, min_neighbors=min_neighbors,
         # forcing use_pallas="on" off-TPU runs the interpreter (tests only)
         interpret=jax.default_backend() != "tpu",
     )
     out = out[:, :C_cells]
     var = out[1]
-    return NormalsResult(
+    res = NormalsResult(
         normal=out[0],
         variance=var,
         se=jnp.sqrt(jnp.maximum(var, 0.0)),
@@ -141,6 +156,38 @@ def _krig_normals_fused(
         ok=out[2] > 0.5,
         vario=jnp.stack([out[4], out[5], out[6]], axis=-1),
     )
+    gains = out[8:].T if want_gains else None
+    return res, gains
+
+
+def krig_normals_and_gains(
+    dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
+    anom_cov, cell_anom_cov,
+    weight_kernel="bisquare", ridge=1e-6, jitter_frac=1e-5,
+    min_neighbors=3, use_pallas="auto",
+):
+    """krig_normals + anomaly-GWR gain rows over the SAME neighborhoods.
+
+    On TPU this is one fused kernel; otherwise it composes the jnp paths
+    (kernels.wls.batched_gwr_gain)."""
+    if _use_pallas(use_pallas) and weight_kernel == "bisquare":
+        return _krig_normals_fused(
+            dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
+            ridge, jitter_frac, min_neighbors,
+            anom_cov=anom_cov, cell_anom_cov=cell_anom_cov,
+        )
+    res = krig_normals(
+        dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
+        weight_kernel=weight_kernel, ridge=ridge, jitter_frac=jitter_frac,
+        min_neighbors=min_neighbors, use_pallas="off",
+    )
+    from topotpu.interp.anoms import anomaly_gain_rows
+
+    gains = anomaly_gain_rows(
+        dist, mask, anom_cov, cell_anom_cov,
+        weight_kernel=weight_kernel, ridge=ridge,
+    )
+    return res, gains
 
 
 def krig_normals(
@@ -167,10 +214,11 @@ def krig_normals(
       nbr_vario: (C, k, 3) per-station (nugget, psill, range).
     """
     if _use_pallas(use_pallas) and weight_kernel == "bisquare":
-        return _krig_normals_fused(
+        res, _ = _krig_normals_fused(
             dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
             ridge, jitter_frac, min_neighbors,
         )
+        return res
 
     w = distance_weights(dist, mask, weight_kernel)
 

@@ -27,7 +27,11 @@ from topotpu.core.dates import DaysMetadata
 from topotpu.geo.distance import unit_xyz
 from topotpu.geo.neighbors import Neighborhood, select_neighbors
 from topotpu.interp.anoms import anomaly_gain_rows, predict_daily, scatter_gains
-from topotpu.interp.normals import krig_normals, NormalsResult
+from topotpu.interp.normals import (
+    krig_normals,
+    krig_normals_and_gains,
+    NormalsResult,
+)
 
 
 class TileInputs(NamedTuple):
@@ -118,45 +122,56 @@ def interp_tile(inputs: TileInputs, params: InterpParams) -> TileResult:
             axis=-1,
         )
 
-        res: NormalsResult = krig_normals(
-            nbr.dist,
-            nbr.mask,
-            take(stn_xyz),
-            nbr_cov,
-            cell_cov,
-            take(inputs.stn_norm[:, m]),
-            take(inputs.stn_vario[:, m, :]),
-            weight_kernel=params.weight_kernel,
-            ridge=params.ridge,
-            jitter_frac=params.chol_jitter,
-            min_neighbors=params.min_neighbors,
-            use_pallas=params.use_pallas,
-        )
-
-        # Anomaly GWR gains: simpler design (elev + local x/y), per §2.13.
+        # Anomaly GWR design: simpler covariates (elev + local x/y), §2.13.
         # The reference tunes normals/anomaly neighborhood sizes separately
         # (mpi_optim_nstns_norms vs _anoms, SURVEY §2.16); top_k output is
         # distance-sorted, so the anomaly neighborhood is a free prefix
         # slice of the normals one.
         ka = min(params.k_neighbors_anom, params.k_neighbors)
-        nbr_a = Neighborhood(
-            idx=nbr.idx[:, :ka], dist=nbr.dist[:, :ka], mask=nbr.mask[:, :ka]
-        )
-        take_a = lambda a: jnp.take(a, nbr_a.idx, axis=0)  # noqa: E731
-        nbr_cov_anom = jnp.stack(
-            [take_a(inputs.stn_elev), take_a(stn_x), take_a(stn_y)], axis=-1
-        )
         cell_cov_anom = jnp.stack(
             [inputs.cell_elev, cell_x, cell_y], axis=-1
         )
-        gains = anomaly_gain_rows(
-            nbr_a.dist,
-            nbr_a.mask,
-            nbr_cov_anom,
-            cell_cov_anom,
-            weight_kernel=params.weight_kernel,
-            ridge=params.ridge,
-        )
+        if ka == params.k_neighbors:
+            # same neighborhoods: normals + gains come from ONE fused kernel
+            nbr_cov_anom = jnp.stack(
+                [take(inputs.stn_elev), take(stn_x), take(stn_y)], axis=-1
+            )
+            res, gains = krig_normals_and_gains(
+                nbr.dist, nbr.mask, take(stn_xyz), nbr_cov, cell_cov,
+                take(inputs.stn_norm[:, m]), take(inputs.stn_vario[:, m, :]),
+                nbr_cov_anom, cell_cov_anom,
+                weight_kernel=params.weight_kernel, ridge=params.ridge,
+                jitter_frac=params.chol_jitter,
+                min_neighbors=params.min_neighbors,
+                use_pallas=params.use_pallas,
+            )
+            nbr_a = nbr
+        else:
+            res = krig_normals(
+                nbr.dist, nbr.mask, take(stn_xyz), nbr_cov, cell_cov,
+                take(inputs.stn_norm[:, m]), take(inputs.stn_vario[:, m, :]),
+                weight_kernel=params.weight_kernel, ridge=params.ridge,
+                jitter_frac=params.chol_jitter,
+                min_neighbors=params.min_neighbors,
+                use_pallas=params.use_pallas,
+            )
+            nbr_a = Neighborhood(
+                idx=nbr.idx[:, :ka], dist=nbr.dist[:, :ka],
+                mask=nbr.mask[:, :ka],
+            )
+            take_a = lambda a: jnp.take(a, nbr_a.idx, axis=0)  # noqa: E731
+            nbr_cov_anom = jnp.stack(
+                [take_a(inputs.stn_elev), take_a(stn_x), take_a(stn_y)],
+                axis=-1,
+            )
+            gains = anomaly_gain_rows(
+                nbr_a.dist,
+                nbr_a.mask,
+                nbr_cov_anom,
+                cell_cov_anom,
+                weight_kernel=params.weight_kernel,
+                ridge=params.ridge,
+            )
         dpm = inputs.stn_anoms.shape[-1]
         from topotpu.kernels.pallas_scatter import CELLS_BLOCK
 

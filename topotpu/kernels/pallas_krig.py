@@ -189,10 +189,35 @@ def _solve_spd_small(A, b, p):
     return x
 
 
+def _wls_design(cov_ref, cell_ref, cell_row0, w, wsum, m, k, q):
+    """Centered scaled design columns (kernels.wls.center_design)."""
+    dn = [jnp.ones_like(m)]
+    for c in range(q):
+        dc = cov_ref[c * k : (c + 1) * k, :] - cell_ref[cell_row0 + c, :][None, :]
+        mean = jnp.sum(w * dc, axis=0) / wsum
+        var = jnp.sum(w * (dc - mean[None, :]) ** 2, axis=0) / wsum
+        scale = jnp.sqrt(var) + 1e-6
+        dn.append(dc / scale[None, :])
+    return dn  # p = q+1 columns, each (k, lanes)
+
+
+def _wls_normal_eq(X, w, ridge, p):
+    """A (lower-tri list-of-lists) with the scaled ridge of batched_wls."""
+    A = [[None] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i + 1):
+            A[i][j] = jnp.sum(w * X[i] * X[j], axis=0)
+    diag_mean = sum(A[i][i] for i in range(p)) / p
+    reg = ridge * diag_mean + 1e-30
+    for i in range(p):
+        A[i][i] = A[i][i] + reg
+    return A
+
+
 def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
-                    vario_ref, out_ref, Cs, y0, y1, *, k: int, q: int,
-                    lanes: int, ridge: float, jitter_frac: float,
-                    min_neighbors: int):
+                    vario_ref, acov_ref, out_ref, Cs, y0, y1, *, k: int,
+                    q: int, qa: int, lanes: int, ridge: float,
+                    jitter_frac: float, min_neighbors: int):
     """The WHOLE krig_normals per-cell chain in one kernel: bisquare
     weights -> point-centered scaled GWR design -> (q+1)x(q+1) WLS trend ->
     residuals -> distance-weighted variogram-parameter interpolation ->
@@ -209,24 +234,10 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
 
     # --- centered scaled design (kernels.wls.center_design) ---
     p = q + 1
-    dn = []
-    for c in range(q):
-        dc = cov_ref[c * k : (c + 1) * k, :] - cell_ref[c, :][None, :]
-        mean = jnp.sum(w * dc, axis=0) / wsum
-        var = jnp.sum(w * (dc - mean[None, :]) ** 2, axis=0) / wsum
-        scale = jnp.sqrt(var) + 1e-6
-        dn.append(dc / scale[None, :])
-    X = [jnp.ones_like(m)] + dn                  # p columns, each (k, lanes)
+    X = _wls_design(cov_ref, cell_ref, 0, w, wsum, m, k, q)
 
     # --- WLS normal equations (kernels.wls.batched_wls) ---
-    A = [[None] * p for _ in range(p)]
-    for i in range(p):
-        for j in range(i + 1):
-            A[i][j] = jnp.sum(w * X[i] * X[j], axis=0)
-    diag_mean = sum(A[i][i] for i in range(p)) / p
-    reg = ridge * diag_mean + 1e-30
-    for i in range(p):
-        A[i][i] = A[i][i] + reg
+    A = _wls_normal_eq(X, w, ridge, p)
     norm = norm_ref[:, :]
     b = [jnp.sum(w * X[i] * norm, axis=0) for i in range(p)]
     beta = _solve_spd_small(A, b, p)
@@ -280,6 +291,19 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
     out_ref[6, :] = rg
     out_ref[7, :] = jnp.zeros((lanes,), jnp.float32)
 
+    # --- anomaly GWR gain rows (kernels.wls.batched_gwr_gain) -------------
+    # same neighborhoods/weights, anomaly covariates; x0 = e0 after
+    # centering so the gain needs A^-1 e0 only.
+    pa = qa + 1
+    Xa = _wls_design(acov_ref, cell_ref, q, w, wsum, m, k, qa)
+    Aa = _wls_normal_eq(Xa, w, ridge, pa)
+    e0 = [jnp.ones_like(w[0])] + [jnp.zeros_like(w[0]) for _ in range(pa - 1)]
+    v = _solve_spd_small(Aa, e0, pa)
+    gx = v[0][None, :] * Xa[0]
+    for i in range(1, pa):
+        gx = gx + v[i][None, :] * Xa[i]
+    out_ref[8:, :] = w * gx
+
 
 @functools.partial(
     jax.jit,
@@ -290,23 +314,27 @@ def krig_normals_fused(
     dist_t: jnp.ndarray,   # (k, B) exact neighbor distances
     mask_t: jnp.ndarray,   # (k, B) f32 0/1
     covs_t: jnp.ndarray,   # (qk, B) trend covariates, covariate-major
-    cell_t: jnp.ndarray,   # (8, B) cell covariates in rows 0..q-1
+    cell_t: jnp.ndarray,   # (8, B) cell covariates: trend rows 0..q-1,
+                           # anomaly rows q..q+qa-1
     norm_t: jnp.ndarray,   # (k, B) station monthly normals
     vario_t: jnp.ndarray,  # (3k, B) nugget rows, psill rows, range rows
+    acovs_t: jnp.ndarray,  # (qa*k, B) anomaly-GWR covariates
     ridge: float = 1e-6,
     jitter_frac: float = 1e-5,
     min_neighbors: int = 3,
     interpret: bool = False,
 ):
-    """Whole-krig_normals fusion. Returns an (8, B) row-stack:
-    [normal, variance, ok, trend, nugget, psill, range, 0]."""
+    """Whole-krig_normals + anomaly-gain fusion. Returns (8+k, B):
+    rows [normal, variance, ok, trend, nugget, psill, range, 0] then the k
+    anomaly-GWR gain rows."""
     k, B = dist_t.shape
     q = covs_t.shape[0] // k
+    qa = acovs_t.shape[0] // k
     lanes = next((l for l in (LANES, 256, 128) if B % l == 0), None)
     assert lanes, f"batch {B} not a multiple of 128"
     grid = (B // lanes,)
     kern = functools.partial(
-        _normals_kernel, k=k, q=q, lanes=lanes, ridge=ridge,
+        _normals_kernel, k=k, q=q, qa=qa, lanes=lanes, ridge=ridge,
         jitter_frac=jitter_frac, min_neighbors=min_neighbors,
     )
     col = lambda rows: pl.BlockSpec(  # noqa: E731
@@ -316,17 +344,17 @@ def krig_normals_fused(
         kern,
         grid=grid,
         in_specs=[col(3 * k), col(k), col(k), col(q * k), col(8), col(k),
-                  col(3 * k)],
-        out_specs=col(8),
-        out_shape=jax.ShapeDtypeStruct((8, B), jnp.float32),
+                  col(3 * k), col(qa * k)],
+        out_specs=col(8 + k),
+        out_shape=jax.ShapeDtypeStruct((8 + k, B), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((k, k, lanes), jnp.float32),
             pltpu.VMEM((k, lanes), jnp.float32),
             pltpu.VMEM((k, lanes), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(B * (k**3 / 3 + 10 * k**2 + 40 * k)),
-            bytes_accessed=int(B * (9 * k + 16) * 4),
+            flops=int(B * (k**3 / 3 + 14 * k**2 + 60 * k)),
+            bytes_accessed=int(B * (13 * k + 16) * 4),
             transcendentals=int(B * (k * k + k)),
         ),
         interpret=interpret,
@@ -338,6 +366,7 @@ def krig_normals_fused(
         cell_t.astype(jnp.float32),
         norm_t.astype(jnp.float32),
         vario_t.astype(jnp.float32),
+        acovs_t.astype(jnp.float32),
     )
 
 
