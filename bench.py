@@ -43,7 +43,9 @@ def main():
     ti, _ = tile_inputs_from_world(world, days.month_idx, rows, cols)
 
     params = InterpParams(k_neighbors=32)
-    fn = jax.jit(lambda t: interp_tile(t, params))
+    # synthetic stations are valid in all months -> single neighborhood
+    # selection (the engine auto-detects the same condition in production)
+    fn = jax.jit(lambda t: interp_tile(t, params, shared_validity=True))
 
     ti = jax.device_put(ti)
     res = jax.block_until_ready(fn(ti))  # compile + warm

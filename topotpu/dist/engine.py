@@ -104,7 +104,13 @@ class TileEngine:
 
         from topotpu.dist.mesh import sharded_interp_tile, shard_tile_inputs
 
-        self._fn = sharded_interp_tile(mesh, config.interp)
+        # two compiled variants: month-shared station validity (detected per
+        # run from the station set; saves 11 of 12 top_k selections) or not
+        self._fns = {
+            flag: sharded_interp_tile(mesh, config.interp, flag)
+            for flag in (False, True)
+        }
+        self._fn = self._fns[False]
         self._shard = lambda ti: shard_tile_inputs(mesh, ti)
 
     # ------------------------------------------------------------- manifest
@@ -279,9 +285,9 @@ class TileEngine:
                 mesh=self.mesh,
                 margin_km=self.margin_km,
             )
-            # reuse this engine's compiled step (same static shapes when the
-            # chunk has the same dpm; else the jit cache recompiles once)
-            sub._fn = self._fn
+            # reuse this engine's compiled steps (same static shapes when
+            # the chunk has the same dpm; else the jit cache recompiles once)
+            sub._fns = self._fns
             sub._shard = self._shard
             n_done += sub.run(var, sub_stations, progress=progress)
         return n_done
@@ -289,6 +295,8 @@ class TileEngine:
     # ------------------------------------------------------------- main loop
     def run(self, var: str, stations: StationSet, progress: bool = True) -> int:
         """Interpolate all pending tiles for one variable. Returns #tiles."""
+        shared = bool(np.all(stations.valid == stations.valid[:, :1]))
+        self._fn = self._fns[shared]
         pending = list(self.pending_tiles(var))
         status = StatusCheck(
             total=len(pending), unit="tiles", enabled=progress,

@@ -63,7 +63,9 @@ def tile_input_specs() -> TileInputs:
     )
 
 
-def sharded_interp_tile(mesh: Mesh, params: InterpParams):
+def sharded_interp_tile(
+    mesh: Mesh, params: InterpParams, shared_validity: bool = False
+):
     """Build the jitted SPMD tile-interpolation step for a mesh.
 
     Returns ``fn(TileInputs) -> TileResult`` where cell-batch inputs must have
@@ -76,7 +78,9 @@ def sharded_interp_tile(mesh: Mesh, params: InterpParams):
     out_specs = _result_specs()
 
     fn = shard_map(
-        functools.partial(interp_tile, params=params),
+        functools.partial(
+            interp_tile, params=params, shared_validity=shared_validity
+        ),
         mesh=mesh,
         in_specs=(in_specs,),  # one positional arg: the TileInputs pytree
         out_specs=out_specs,
