@@ -51,6 +51,7 @@ class PPCAParams:
     max_iters: int = 200
     tol: float = 1e-5
     min_var_ratio: float = 0.05    # variance floor on imputed values
+    batch_size: int = 32           # target stations per device batch
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,25 +37,38 @@ class InfillResult:
 def masked_correlation(obs: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """(S, T) pairwise station correlation over the *jointly observed* days.
 
-    Computed host-side in f64 (S is ~1e4, T ~2.5e4: one S x S gram via
-    matmuls — cheap on any backend; done in numpy to keep the device free).
+    At production scale (S ~1e4, T ~2.5e4) the six S x S grams are ~5e12
+    FLOPs — hours in host numpy on this 1-core box, seconds as device
+    matmuls, so they run under jit. f32 is ample: the result only RANKS
+    predictors. Values are standardized per station first so the masked
+    moment algebra stays conditioned in f32.
     """
-    m = mask.astype(np.float64)
-    x = np.where(mask, obs, 0.0).astype(np.float64)
-    n = m @ m.T
-    sx = x @ m.T
-    sy = m @ x.T
-    sxy = x @ x.T
-    sxx = (x * x) @ m.T
-    syy = m @ (x * x).T
-    with np.errstate(invalid="ignore", divide="ignore"):
-        cov = sxy / n - (sx / n) * (sy / n)
-        vx = sxx / n - (sx / n) ** 2
-        vy = syy / n - (sy / n) ** 2
-        corr = cov / np.sqrt(vx * vy)
-    corr[n < 30] = 0.0  # require meaningful overlap
+    import jax
+    import jax.numpy as jnp
+
+    mu = np.nanmean(np.where(mask, obs, np.nan), axis=1)
+    sd = np.nanstd(np.where(mask, obs, np.nan), axis=1) + 1e-6
+    xs = np.where(mask, (obs - mu[:, None]) / sd[:, None], 0.0).astype(np.float32)
+
+    @jax.jit
+    def grams(x, m):
+        n = m @ m.T
+        sx = x @ m.T
+        sy = sx.T
+        sxy = x @ x.T
+        sxx = (x * x) @ m.T
+        syy = sxx.T
+        safe_n = jnp.maximum(n, 1.0)
+        cov = sxy / safe_n - (sx / safe_n) * (sy / safe_n)
+        vx = jnp.maximum(sxx / safe_n - (sx / safe_n) ** 2, 1e-12)
+        vy = jnp.maximum(syy / safe_n - (sy / safe_n) ** 2, 1e-12)
+        corr = cov * jax.lax.rsqrt(vx * vy)
+        return jnp.where(n < 30, 0.0, corr), n
+
+    corr, _ = grams(jnp.asarray(xs), jnp.asarray(mask.astype(np.float32)))
+    corr = np.asarray(corr, dtype=np.float64)
     np.fill_diagonal(corr, 0.0)
-    return np.nan_to_num(corr)
+    return np.nan_to_num(np.clip(corr, -1.0, 1.0))
 
 
 def select_predictors(
@@ -95,7 +108,7 @@ def infill_network(
     obs: np.ndarray,
     month_idx: np.ndarray,
     params: PPCAParams,
-    batch_size: int = 16,
+    batch_size: int | None = None,
     stn_lon: np.ndarray | None = None,
     stn_lat: np.ndarray | None = None,
     min_obs_days: int = 365,
@@ -108,6 +121,8 @@ def infill_network(
     flagged ``bad`` (the reference's BAD station attribute, SURVEY.md §2.3) —
     downstream interpolation masks them out.
     """
+    if batch_size is None:
+        batch_size = params.batch_size
     S, T = obs.shape
     mask = np.isfinite(obs)
     obs0 = np.where(mask, obs, 0.0).astype(np.float32)

@@ -330,19 +330,26 @@ def run_qa_spatial(
     w = 1.0 / np.maximum(ndist, 1.0) ** 2
     w[ndist > max_dist_km] = 0.0
 
-    nb_anom = anom[order]            # (S, n, T)
-    nb_w = np.where(np.isfinite(nb_anom), w[..., None], 0.0)
-    est = np.nansum(np.nan_to_num(nb_anom) * nb_w, axis=1) / np.maximum(
-        nb_w.sum(axis=1), 1e-12
-    )
-    n_used = (nb_w > 0).sum(axis=1)
-    est[n_used < 3] = np.nan
-    resid = anom - est
+    # chunk over stations: the (S, n, T) neighbor-anomaly tensor would be
+    # ~14 GB at production scale (1e4 stations x 25k days)
+    chunk = max(1, int(2e8 // (n_neighbors * T)))
+    for s0 in range(0, S, chunk):
+        sl = slice(s0, min(s0 + chunk, S))
+        nb_anom = anom[order[sl]]            # (s, n, T)
+        nb_w = np.where(np.isfinite(nb_anom), w[sl, :, None], 0.0)
+        est = np.nansum(np.nan_to_num(nb_anom) * nb_w, axis=1) / np.maximum(
+            nb_w.sum(axis=1), 1e-12
+        )
+        n_used = (nb_w > 0).sum(axis=1)
+        est[n_used < 3] = np.nan
+        resid = anom[sl] - est
 
-    diffs = np.abs(anom[:, None, :] - nb_anom)   # (S, n, T)
-    with np.errstate(invalid="ignore"):
-        corroborated = np.nanmin(diffs, axis=1) <= SPATIAL_CORROB_THRESHOLD
-    with np.errstate(invalid="ignore"):
-        bad = (np.abs(resid) > SPATIAL_RESID_THRESHOLD) & ~corroborated
-    _flag(flags, np.nan_to_num(bad.astype(float)).astype(bool), C.QA_SPATIAL_REGRESS)
+        diffs = np.abs(anom[sl, None, :] - nb_anom)   # (s, n, T)
+        with np.errstate(invalid="ignore"):
+            corroborated = np.nanmin(diffs, axis=1) <= SPATIAL_CORROB_THRESHOLD
+            bad = (np.abs(resid) > SPATIAL_RESID_THRESHOLD) & ~corroborated
+        fsl = flags[sl]
+        _flag(fsl, np.nan_to_num(bad.astype(float)).astype(bool),
+              C.QA_SPATIAL_REGRESS)
+        flags[sl] = fsl
     return flags
