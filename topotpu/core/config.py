@@ -72,6 +72,8 @@ class TopoConfig:
     cellsize: float = CELLSIZE_30ARCSEC
     tile_rows: int = 128
     tile_cols: int = 128
+    output_compress: int = 1   # tile gzip level; 0 = fastest writes
+    output_pack: bool = True   # int16 scale/offset packing
     interp: InterpParams = dataclasses.field(default_factory=InterpParams)
     variogram: VariogramParams = dataclasses.field(default_factory=VariogramParams)
     ppca: PPCAParams = dataclasses.field(default_factory=PPCAParams)

@@ -236,7 +236,10 @@ class TileEngine:
         daily = np.where(okm.all(0)[None, :, :], daily, np.nan)
 
         sub = self.rasters.grid.subgrid(spec.row0, spec.col0, nr, nc)
-        with TileWriter(self._tile_file(spec, var), sub, self.days.date64) as w:
+        with TileWriter(
+            self._tile_file(spec, var), sub, self.days.date64,
+            pack=self.config.output_pack, compress=self.config.output_compress,
+        ) as w:
             w.write_daily(var, daily, long_name=f"daily {var}")
             w.write_monthly(f"{var}_normal", normal, long_name="monthly normal")
             w.write_monthly(f"{var}_se", se, long_name="kriging standard error")

@@ -64,14 +64,23 @@ class TileWriter:
         subgrid: GridSpec,
         dates: np.ndarray,  # datetime64[D] calendar day axis
         pack: bool = True,
+        compress: int = 1,  # gzip level; 0 = none (host gzip on this 1-core
+                            # box is the production-write long pole)
     ):
         self.path = pathlib.Path(path)
         self.tmp = self.path.with_suffix(self.path.suffix + ".tmp")
         self.subgrid = subgrid
         self.dates = dates
         self.pack = pack
+        self.compress = compress
         self._f = h5py.File(self.tmp, "w")
         self._init_coords()
+
+    def _copts(self):
+        if self.compress:
+            return dict(compression="gzip", compression_opts=self.compress,
+                        shuffle=True)
+        return {}
 
     def _init_coords(self):
         f = self._f
@@ -102,7 +111,7 @@ class TileWriter:
             packed, scale, offset = _pack_int16(data, None)
             v = f.create_dataset(
                 name, data=packed, chunks=(min(64, data.shape[0]),) + data.shape[1:],
-                compression="gzip", compression_opts=1, shuffle=True,
+                **self._copts(),
             )
             v.attrs["scale_factor"] = np.float32(scale)
             v.attrs["add_offset"] = np.float32(offset)
@@ -111,7 +120,7 @@ class TileWriter:
             v = f.create_dataset(
                 name, data=np.where(np.isfinite(data), data, FILL_F32),
                 chunks=(min(64, data.shape[0]),) + data.shape[1:],
-                compression="gzip", compression_opts=1, shuffle=True,
+                **self._copts(),
             )
             v.attrs["_FillValue"] = FILL_F32
         v.attrs["units"] = units
