@@ -36,3 +36,9 @@ def test_cli_full_pipeline(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["stage"] == "xval-interp"
     assert out["result"]["mae_mean"] < 1.5
+
+    rc = main(["optim-nnghs", "--config", str(cfg_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["stage"] == "optim-nnghs"
+    assert out["result"]["best_k_by_region"]

@@ -27,11 +27,7 @@ from topotpu.core.dates import DaysMetadata
 from topotpu.geo.distance import unit_xyz
 from topotpu.geo.neighbors import Neighborhood, select_neighbors
 from topotpu.interp.anoms import anomaly_gain_rows, predict_daily, scatter_gains
-from topotpu.interp.normals import (
-    krig_normals,
-    krig_normals_and_gains,
-    NormalsResult,
-)
+from topotpu.interp.normals import krig_normals, krig_normals_and_gains
 
 
 class TileInputs(NamedTuple):
