@@ -66,7 +66,8 @@ def test_fused_kernel_other_k_sizes(rng):
     from topotpu.interp.normals import krig_normals
     from tests.test_normals_fused import _gathered_inputs
 
-    for k in (8, 24, 48):
+    # k=64 exercises the uniform-shape factorization variant
+    for k in (8, 24, 48, 64):
         args = _gathered_inputs(rng, C=16, k=k)
         ref = krig_normals(**args, use_pallas="off")
         got = krig_normals(**args, use_pallas="on")

@@ -89,9 +89,54 @@ def _assemble_C(dp, m, nug, ps, rg, jitter_frac, k):
     return C + eyef * diag_add[:, None, :]
 
 
+def _chol_and_two_solves_uniform(Cs, y0, y1, k):
+    """Uniform-shape variant: every step uses full (k, ...) ops with static
+    row masks instead of shrinking slices. ~3x the FLOPs of the triangular
+    version but every unrolled step body has IDENTICAL op shapes, which
+    keeps Mosaic compile time flat in k (the shrinking-slice version's
+    compile time explodes by k=64) and runs full-width vregs."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    for j in range(k):
+        dj = jnp.sqrt(jnp.maximum(Cs[j, j, :], 1e-20))
+        inv = 1.0 / dj
+        cj = Cs[:, j, :]                                  # (k, lanes)
+        low = (rows > j).astype(jnp.float32)              # static per j
+        here = (rows == j).astype(jnp.float32)
+        col_low = cj * inv[None, :] * low
+        Cs[:, j, :] = col_low + here * dj[None, :] + cj * (1.0 - low - here)
+        Cs[:, :, :] = Cs[:, :, :] - col_low[:, None, :] * col_low[None, :, :]
+    for j in range(k):
+        inv = 1.0 / Cs[j, j, :]
+        a_j = y0[j, :] * inv
+        u_j = y1[j, :] * inv
+        low = (rows > j).astype(jnp.float32)
+        Lcol = Cs[:, j, :] * low
+        y0[j, :] = a_j
+        y1[j, :] = u_j
+        y0[:, :] = y0[:, :] - Lcol * a_j[None, :]
+        y1[:, :] = y1[:, :] - Lcol * u_j[None, :]
+    for j in reversed(range(k)):
+        inv = 1.0 / Cs[j, j, :]
+        a_j = y0[j, :] * inv
+        u_j = y1[j, :] * inv
+        upper = (rows < j).astype(jnp.float32)
+        Lrow = Cs[j, :, :] * upper
+        y0[j, :] = a_j
+        y1[j, :] = u_j
+        y0[:, :] = y0[:, :] - Lrow * a_j[None, :]
+        y1[:, :] = y1[:, :] - Lrow * u_j[None, :]
+
+
 def _chol_and_two_solves(Cs, y0, y1, k):
     """In-place Cholesky + forward/back substitution for two rhs, unrolled
     over k (static) — every step is one VPU op over all lanes."""
+    if k > 48:
+        # The shrinking-slice unroll compiles pathologically past ~48; the
+        # uniform variant is parity-tested, but NOTE: even with it, k=64
+        # whole-tile compiles exceeded 10 min through this container's
+        # remote-compile tunnel (KNOWN_GAPS.md #7). k <= 48 is the
+        # supported fast range (the nnghs optimizer picks 32-48).
+        return _chol_and_two_solves_uniform(Cs, y0, y1, k)
     for j in range(k):
         dj = jnp.sqrt(jnp.maximum(Cs[j, j, :], 1e-20))
         inv = 1.0 / dj
