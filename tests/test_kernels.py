@@ -156,6 +156,35 @@ def test_ok_weights_sum_to_one(rng):
     np.testing.assert_allclose(np.asarray(sol.weights).sum(-1), 1.0, atol=1e-4)
 
 
+def test_f32_survives_ill_conditioned_variogram(rng):
+    """Stress: nugget ~ 0 and range >> window makes C nearly singular
+    (all correlations ~1). The proportional jitter must keep the f32 solve
+    within tolerance of the f64 oracle run with the SAME jitter."""
+    dp, d0, resid, mask, _, _, _ = _random_kriging_setup(rng, B=8, k=16, masked=0)
+    B = dp.shape[0]
+    nug = np.full(B, 1e-6)
+    ps = np.full(B, 1.0)
+    rg = np.full(B, 500.0)  # >> the ~60 km window
+    jit = 1e-5
+    C, c0, sill = assemble_exp_cov(
+        jnp.array(dp, jnp.float32), jnp.array(d0, jnp.float32),
+        jnp.array(nug, jnp.float32), jnp.array(ps, jnp.float32),
+        jnp.array(rg, jnp.float32), jnp.array(mask), jitter_frac=jit,
+    )
+    sol = ok_solve(C, c0, jnp.array(mask), sill)
+    pred = np.asarray(jnp.sum(sol.weights * jnp.array(resid, jnp.float32), -1))
+    for b in range(B):
+        want_pred, want_var, _ = oracle.ok_krige_augmented(
+            dp[b], d0[b], resid[b], nug[b], ps[b], rg[b], jitter_frac=jit
+        )
+        # near-interpolation regime: predictions stay physical and close
+        np.testing.assert_allclose(pred[b], want_pred, atol=0.05)
+        np.testing.assert_allclose(
+            float(sol.variance[b]), max(want_var, 0.0), atol=0.01
+        )
+    assert np.isfinite(np.asarray(sol.weights)).all()
+
+
 def test_too_few_neighbors_flagged(rng):
     dp, d0, _, mask, nug, ps, rg = _random_kriging_setup(rng, B=4, k=8, masked=6)
     C, c0, sill = assemble_exp_cov(

@@ -49,6 +49,25 @@ def test_xval_infill_protocol(world):
     assert abs(out["bias"]) < 0.2
 
 
+def test_loo_daily_xval(world):
+    from topotpu.core.dates import get_days_metadata
+    from topotpu.interp.xval import xval_interp_daily
+
+    days = get_days_metadata("2015-01-01", "2015-12-31")
+    out = xval_interp_daily(
+        world.stn_lon, world.stn_lat, world.stn_elev, world.stn_tdi,
+        world.stn_lst, world.stn_norm, _vario(world),
+        np.ones((world.n_stations, 12), bool),
+        world.stn_anoms.astype(np.float32), days.month_idx,
+        InterpParams(k_neighbors=16),
+    )
+    # paper scale: daily x-val MAE ~1.2-2.0 C; synthetic anomalies are
+    # strongly spatially correlated so demand < 2.0
+    assert out["mae"] < 2.0, out["mae"]
+    assert abs(out["bias"]) < 0.15
+    assert out["rmse"] >= out["mae"]
+
+
 def test_optimize_nnghs_returns_sane_choice(world):
     out = optimize_nnghs(
         world.stn_lon, world.stn_lat, world.stn_elev, world.stn_tdi,

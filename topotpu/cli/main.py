@@ -45,7 +45,7 @@ def main(argv=None) -> int:
     ap.add_argument("stage", choices=[
         "synth-data", "download", "build-db", "qa", "homog", "infill",
         "krig-params", "interp", "mosaic", "validate", "all",
-        "xval-interp", "xval-infill", "optim-nnghs",
+        "xval-interp", "xval-daily", "xval-infill", "optim-nnghs",
     ])
     ap.add_argument("--config", help="TopoConfig JSON path")
     ap.add_argument("--data-dir", help="override config.data_dir")
@@ -122,6 +122,33 @@ def main(argv=None) -> int:
             "r2_mean": float(sc.r2.mean()),
             "mae_by_month": [float(x) for x in sc.mae],
         })
+    if stage == "xval-daily":
+        import numpy as np
+
+        from topotpu.core import constants as C
+        from topotpu.cli.steps import _paths, _days
+        from topotpu.interp.xval import xval_interp_daily
+        from topotpu.io.stndb import StationDB
+
+        p = _paths(cfg)
+        days = _days(cfg)
+        with StationDB(p["serial_tmin"]) as db:
+            vario = np.stack(
+                [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
+                axis=-1,
+            )
+            bad = db.stn(C.BAD).astype(bool)
+            norms = db.stn(C.NORM)
+            filled = db.obs(C.TMIN)
+            anoms = (filled - norms[:, days.month_idx]).astype(np.float32)
+            out = xval_interp_daily(
+                db.stn(C.LON), db.stn(C.LAT), db.stn(C.ELEV), db.stn(C.TDI),
+                db.stn(C.LST), norms, vario,
+                np.repeat(~bad[:, None], 12, 1), anoms, days.month_idx,
+                cfg.interp,
+            )
+        out.pop("per_station_mae")
+        report("xval-daily", out)
     if stage == "xval-infill":
         import numpy as np
 

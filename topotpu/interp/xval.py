@@ -101,6 +101,87 @@ def xval_interp_normals(
     )
 
 
+def xval_interp_daily(
+    stn_lon, stn_lat, stn_elev, stn_tdi, stn_lst, stn_norm, stn_vario,
+    stn_valid, stn_anoms, month_idx, params: InterpParams,
+) -> dict:
+    """Leave-one-station-out x-val of full DAILY values (normals + GWR
+    anomalies recombined) — the protocol behind the reference paper's daily
+    MAE/bias tables (SURVEY §4/§6: daily x-val MAE ~1.2-2.0 C).
+
+    stn_anoms: (S, T) serially-complete daily anomalies; month_idx: (T,).
+    """
+    import jax
+
+    from topotpu.interp.anoms import anomaly_gain_rows, predict_daily_gathered
+    from topotpu.interp.point import month_layout, group_days_by_month, ungroup_days
+
+    S = stn_lon.shape[0]
+    dt = jnp.float32
+    lon = jnp.asarray(stn_lon, dt)
+    lat = jnp.asarray(stn_lat, dt)
+    elev = jnp.asarray(stn_elev, dt)
+    tdi = jnp.asarray(stn_tdi, dt)
+    lst = jnp.asarray(stn_lst, dt)
+    norm = jnp.asarray(stn_norm, dt)
+    vario = jnp.asarray(stn_vario, dt)
+    valid = jnp.asarray(stn_valid)
+    xyz = unit_xyz(lon, lat)
+
+    class _D:
+        pass
+
+    _D.month_idx = month_idx
+    _D.ndays = len(month_idx)
+    layout = month_layout(_D)
+    anoms_g = group_days_by_month(stn_anoms.astype(np.float32), layout)
+    anoms_g = jnp.asarray(np.moveaxis(anoms_g, 1, 0))  # (12, S, dpm)
+
+    kx = 111.32 * np.cos(np.deg2rad(38.0))
+    sx = lon * kx
+    sy = lat * 111.32
+
+    @jax.jit
+    def _month(valid_m, lst_m, norm_m, vario_m, Y_m):
+        nbr = select_neighbors(
+            lon, lat, lon, lat, valid_m, k=params.k_neighbors,
+            exclude_self_km=1e-3,
+        )
+        take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
+        nbr_cov = jnp.stack([take(elev), take(tdi), take(lst_m)], axis=-1)
+        cell_cov = jnp.stack([elev, tdi, lst_m], axis=-1)
+        res = krig_normals(
+            nbr.dist, nbr.mask, take(xyz), nbr_cov, cell_cov,
+            take(norm_m), take(vario_m),
+            weight_kernel=params.weight_kernel, ridge=params.ridge,
+            jitter_frac=params.chol_jitter, min_neighbors=params.min_neighbors,
+        )
+        nca = jnp.stack([take(elev), take(sx), take(sy)], axis=-1)
+        cca = jnp.stack([elev, sx, sy], axis=-1)
+        g = anomaly_gain_rows(nbr.dist, nbr.mask, nca, cca,
+                              weight_kernel=params.weight_kernel,
+                              ridge=params.ridge)
+        anom_pred = predict_daily_gathered(g, nbr.idx, nbr.mask, Y_m)
+        return res.normal[:, None] + anom_pred  # (S, dpm)
+
+    pred_g = np.zeros((S, 12, layout.dpm), np.float32)
+    for m in range(12):
+        pred_g[:, m, :] = np.asarray(
+            _month(valid[:, m], lst[:, m], norm[:, m], vario[:, m, :],
+                   anoms_g[m])
+        )
+    pred = ungroup_days(pred_g, layout)                      # (S, T)
+    truth = stn_norm[:, month_idx] + stn_anoms
+    vmask = np.asarray(stn_valid).all(axis=1)
+    err = (pred - truth)[vmask]
+    return {
+        "mae": float(np.abs(err).mean()),
+        "bias": float(err.mean()),
+        "rmse": float(np.sqrt((err**2).mean())),
+        "per_station_mae": np.abs(pred - truth).mean(axis=1),
+    }
+
+
 def xval_infill(
     obs: np.ndarray,
     month_idx: np.ndarray,
