@@ -96,7 +96,8 @@ def interp_tile(
         inputs.cell_lon, inputs.cell_lat, inputs.stn_lon, inputs.stn_lat
     )
 
-    normals, ses, oks, dailies, varios = [], [], [], [], []
+    normals, ses, oks, varios = [], [], [], []
+    gains_by_month = []
     nbr = None
     for m in range(12):
         if nbr is None or not shared_validity:
@@ -180,40 +181,59 @@ def interp_tile(
                 weight_kernel=params.weight_kernel,
                 ridge=params.ridge,
             )
-        dpm = inputs.stn_anoms.shape[-1]
-        from topotpu.kernels.pallas_scatter import CELLS_BLOCK
-
-        if (
-            jax.default_backend() == "tpu"
-            and params.use_pallas != "off"
-            and C % CELLS_BLOCK == 0
-        ):
-            # fused VMEM scatter + MXU matmul: ~30x less HBM traffic than
-            # either XLA variant (see kernels/pallas_scatter.py)
-            from topotpu.kernels.pallas_scatter import scatter_daily_matmul
-
-            anom = scatter_daily_matmul(
-                nbr_a.idx.T, gains.T, nbr_a.mask.T.astype(dtype),
-                inputs.stn_anoms[m],
-            )
-        elif dpm <= 64:
-            # short day axes: the (C,k,dpm) gather+einsum beats the (C,S)
-            # scatter-add (irregular TPU writes)
-            from topotpu.interp.anoms import predict_daily_gathered
-
-            anom = predict_daily_gathered(
-                gains, nbr_a.idx, nbr_a.mask, inputs.stn_anoms[m]
-            )
-        else:
-            G = scatter_gains(gains, nbr_a.idx, nbr_a.mask, S)  # (C, S)
-            anom = predict_daily(G, inputs.stn_anoms[m])         # (C, dpm)
-
-        daily = res.normal[:, None] + anom
         normals.append(res.normal)
         ses.append(res.se)
         oks.append(res.ok & inputs.cell_mask)
-        dailies.append(daily)
         varios.append(res.vario)
+        gains_by_month.append((gains, nbr_a))
+
+    # ---- daily anomalies -------------------------------------------------
+    dpm = inputs.stn_anoms.shape[-1]
+    from topotpu.kernels.pallas_scatter import CELLS_BLOCK
+
+    use_scatter_kernel = (
+        jax.default_backend() == "tpu"
+        and params.use_pallas != "off"
+        and C % CELLS_BLOCK == 0
+    )
+    if use_scatter_kernel and shared_validity:
+        # With month-invariant validity the anomaly gains are identical for
+        # every month (geometry-only), so ONE scatter + ONE MXU matmul over
+        # the concatenated (S, 12*dpm) day matrix covers the whole year.
+        from topotpu.kernels.pallas_scatter import scatter_daily_matmul
+
+        g0, nbr0 = gains_by_month[0]
+        Y_all = jnp.transpose(inputs.stn_anoms, (1, 0, 2)).reshape(S, 12 * dpm)
+        anom_all = scatter_daily_matmul(
+            nbr0.idx.T, g0.T, nbr0.mask.T.astype(dtype), Y_all
+        )
+        dailies = [
+            normals[m][:, None] + anom_all[:, m * dpm : (m + 1) * dpm]
+            for m in range(12)
+        ]
+    else:
+        dailies = []
+        for m in range(12):
+            gains, nbr_a = gains_by_month[m]
+            if use_scatter_kernel:
+                from topotpu.kernels.pallas_scatter import scatter_daily_matmul
+
+                anom = scatter_daily_matmul(
+                    nbr_a.idx.T, gains.T, nbr_a.mask.T.astype(dtype),
+                    inputs.stn_anoms[m],
+                )
+            elif dpm <= 64:
+                # short day axes: the (C,k,dpm) gather+einsum beats the
+                # (C,S) scatter-add (irregular TPU writes)
+                from topotpu.interp.anoms import predict_daily_gathered
+
+                anom = predict_daily_gathered(
+                    gains, nbr_a.idx, nbr_a.mask, inputs.stn_anoms[m]
+                )
+            else:
+                G = scatter_gains(gains, nbr_a.idx, nbr_a.mask, S)
+                anom = predict_daily(G, inputs.stn_anoms[m])
+            dailies.append(normals[m][:, None] + anom)
 
     return TileResult(
         normal=jnp.stack(normals),
