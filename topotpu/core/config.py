@@ -57,11 +57,12 @@ class PPCAParams:
 @dataclasses.dataclass(frozen=True)
 class MeshParams:
     """Device-mesh shape for the shard_map tile engine (replaces the
-    reference's mpi4py task farm, SURVEY.md §2 X1)."""
+    reference's mpi4py task farm, SURVEY.md X1). The sharded axis name is
+    dist.mesh.CELL_AXIS; production is host-write-bound, so there is no
+    tile-batching knob (the device finishes a tile ~20x faster than the
+    host writes one)."""
 
     n_devices: int = 0             # 0 = use all local devices
-    axis_name: str = "cells"       # cells-batch axis sharded over ICI
-    tiles_per_step: int = 1        # tiles batched into one device step
 
 
 @dataclasses.dataclass(frozen=True)
