@@ -380,10 +380,14 @@ def step_mosaic(cfg: TopoConfig) -> dict:
                                       fillvalue=np.nan)
             se = f.create_dataset("se", (12, R, Cc), np.float32,
                                   fillvalue=np.nan)
+            copts = (
+                dict(compression="gzip", compression_opts=cfg.output_compress)
+                if cfg.output_compress else {}
+            )
             daily = f.create_dataset(
                 var, (days.ndays, R, Cc), np.float32, fillvalue=np.nan,
                 chunks=(min(32, days.ndays), cfg.tile_rows, cfg.tile_cols),
-                compression="gzip", compression_opts=1,
+                **copts,
             )
             # chunked layouts (run_production) have per-chunk subdirs whose
             # time axes concatenate; unchunked tiles live in p["tiles"]

@@ -73,7 +73,10 @@ class TopoConfig:
     cellsize: float = CELLSIZE_30ARCSEC
     tile_rows: int = 128
     tile_cols: int = 128
-    output_compress: int = 1   # tile gzip level; 0 = fastest writes
+    # int16 packing does the real size reduction; gzip on packed data buys
+    # ~18% size for ~5x write time on a 1-core host (measured: 2.7k vs
+    # 12.8k cells/s end-to-end) — default off, raise for archival runs.
+    output_compress: int = 0   # tile gzip level; 0 = fastest writes
     output_pack: bool = True   # int16 scale/offset packing
     interp: InterpParams = dataclasses.field(default_factory=InterpParams)
     variogram: VariogramParams = dataclasses.field(default_factory=VariogramParams)
