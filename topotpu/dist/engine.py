@@ -105,9 +105,12 @@ class TileEngine:
         from topotpu.dist.mesh import sharded_interp_tile, shard_tile_inputs
 
         # two compiled variants: month-shared station validity (detected per
-        # run from the station set; saves 11 of 12 top_k selections) or not
+        # run from the station set; saves 11 of 12 top_k selections) or not.
+        # pack_daily: dailies leave the device already int16-quantized —
+        # half the transfer, no host packing pass.
         self._fns = {
-            flag: sharded_interp_tile(mesh, config.interp, flag)
+            flag: sharded_interp_tile(mesh, config.interp, flag,
+                                      pack_daily=config.output_pack)
             for flag in (False, True)
         }
         self._fn = self._fns[False]
@@ -223,7 +226,7 @@ class TileEngine:
         normal = np.asarray(result.normal).reshape(12, tr, tc)[:, :nr, :nc]
         se = np.asarray(result.se).reshape(12, tr, tc)[:, :nr, :nc]
         ok = np.asarray(result.ok).reshape(12, tr, tc)[:, :nr, :nc]
-        daily_g = np.asarray(result.daily)  # (12, C, dpm)
+        daily_g = np.asarray(result.daily)  # (12, C, dpm), f32 or int16
         daily = ungroup_days(daily_g.transpose(1, 0, 2), self.layout)
         daily = daily.reshape(tr, tc, -1).transpose(2, 0, 1)[:, :nr, :nc]
 
@@ -233,14 +236,22 @@ class TileEngine:
         okm = ok & land[None, :, :]
         normal = np.where(okm, normal, np.nan)
         se = np.where(okm, se, np.nan)
-        daily = np.where(okm.all(0)[None, :, :], daily, np.nan)
 
         sub = self.rasters.grid.subgrid(spec.row0, spec.col0, nr, nc)
         with TileWriter(
             self._tile_file(spec, var), sub, self.days.date64,
             pack=self.config.output_pack, compress=self.config.output_compress,
         ) as w:
-            w.write_daily(var, daily, long_name=f"daily {var}")
+            if daily.dtype == np.int16:  # device-packed path
+                daily[:, ~okm.all(0)] = np.int16(-32768)
+                w.write_daily_prepacked(
+                    var, daily,
+                    float(result.daily_scale), float(result.daily_offset),
+                    long_name=f"daily {var}",
+                )
+            else:
+                daily = np.where(okm.all(0)[None, :, :], daily, np.nan)
+                w.write_daily(var, daily, long_name=f"daily {var}")
             w.write_monthly(f"{var}_normal", normal, long_name="monthly normal")
             w.write_monthly(f"{var}_se", se, long_name="kriging standard error")
         self._record_tile(

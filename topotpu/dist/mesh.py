@@ -63,7 +63,8 @@ def tile_input_specs() -> TileInputs:
 
 
 def sharded_interp_tile(
-    mesh: Mesh, params: InterpParams, shared_validity: bool = False
+    mesh: Mesh, params: InterpParams, shared_validity: bool = False,
+    pack_daily: bool = False,
 ):
     """Build the jitted SPMD tile-interpolation step for a mesh.
 
@@ -78,7 +79,9 @@ def sharded_interp_tile(
 
     fn = shard_map(
         functools.partial(
-            interp_tile, params=params, shared_validity=shared_validity
+            interp_tile, params=params, shared_validity=shared_validity,
+            pack_daily=pack_daily,
+            mesh_axis=CELL_AXIS if pack_daily else None,
         ),
         mesh=mesh,
         in_specs=(in_specs,),  # one positional arg: the TileInputs pytree
@@ -91,13 +94,17 @@ def sharded_interp_tile(
 def _result_specs():
     from topotpu.interp.point import TileResult
 
-    # every TileResult field has the cell axis at position 1: (12, C, ...)
+    # every TileResult array field has the cell axis at position 1:
+    # (12, C, ...); the pack scale/offset scalars are replicated (they are
+    # global pmin/pmax reductions in packed mode, constants otherwise)
     return TileResult(
         normal=P(None, CELL_AXIS),
         se=P(None, CELL_AXIS),
         ok=P(None, CELL_AXIS),
         daily=P(None, CELL_AXIS, None),
         vario=P(None, CELL_AXIS, None),
+        daily_scale=P(),
+        daily_offset=P(),
     )
 
 
