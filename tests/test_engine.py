@@ -94,6 +94,31 @@ def test_engine_resume_skips_completed(tmp_path, setup):
     assert victim.exists()
 
 
+def test_engine_monthly_varying_validity(tmp_path, setup):
+    """Engine must auto-detect per-month validity and use the general
+    (12-selection) compiled variant; results stay covered and sane."""
+    world, days, rasters, stations = setup
+    import dataclasses
+
+    valid = stations.valid.copy()
+    valid[: valid.shape[0] // 3, 6] = False  # a third of stations out in July
+    stations2 = dataclasses.replace(stations, valid=valid)
+    eng = TileEngine(_config(), rasters, days, tmp_path / "out")
+    assert eng.run("tmin", stations2, progress=False) == 4
+    f = tmp_path / "out" / "tmin_tile00000.h5"
+    normal = read_var(f, "tmin_normal")
+    land = world.landmask[:24, :24]
+    assert np.isfinite(normal[:, land]).all()
+    # July field computed from fewer stations differs from a full-network run
+    eng2 = TileEngine(_config(), rasters, days, tmp_path / "out_full")
+    eng2.run("tmin", stations, progress=False)
+    n_full = read_var(tmp_path / "out_full" / "tmin_tile00000.h5", "tmin_normal")
+    assert np.abs(np.nan_to_num(normal[6] - n_full[6])).max() > 1e-4
+    np.testing.assert_allclose(
+        np.nan_to_num(normal[0]), np.nan_to_num(n_full[0]), atol=1e-5
+    )  # January untouched
+
+
 def test_engine_separate_variables(tmp_path, setup):
     world, days, rasters, stations = setup
     out = tmp_path / "out"
