@@ -60,3 +60,14 @@ def test_uneven_mesh_sizes():
         fn = sharded_interp_tile(mesh, params)
         out = fn(shard_tile_inputs(mesh, ti))
         assert np.isfinite(np.asarray(out.normal)).all()
+
+
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the DCN hooks: global mesh over all
+    local devices, coordinator identity."""
+    from topotpu.dist.multihost import global_mesh, is_coordinator
+
+    mesh = global_mesh()
+    assert mesh.devices.size == 8  # the virtual CPU mesh
+    assert mesh.axis_names == ("cells",)
+    assert is_coordinator()
