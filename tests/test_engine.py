@@ -114,9 +114,12 @@ def test_engine_monthly_varying_validity(tmp_path, setup):
     eng2.run("tmin", stations, progress=False)
     n_full = read_var(tmp_path / "out_full" / "tmin_tile00000.h5", "tmin_normal")
     assert np.abs(np.nan_to_num(normal[6] - n_full[6])).max() > 1e-4
+    # January untouched — up to int16 pack granularity (normals are packed
+    # with a per-run global scale, so two runs quantize on different grids;
+    # step = range/65500 ~ 1e-3 C here, far below the 0.05 C parity bar)
     np.testing.assert_allclose(
-        np.nan_to_num(normal[0]), np.nan_to_num(n_full[0]), atol=1e-5
-    )  # January untouched
+        np.nan_to_num(normal[0]), np.nan_to_num(n_full[0]), atol=5e-3
+    )
 
 
 def test_engine_separate_variables(tmp_path, setup):

@@ -102,19 +102,48 @@ class TileEngine:
             mesh = make_mesh(n_dev)
         self.mesh = mesh
 
-        from topotpu.dist.mesh import sharded_interp_tile, shard_tile_inputs
+        from topotpu.dist.mesh import (
+            shard_tile_inputs,
+            sharded_interp_tile,
+            sharded_interp_tile_flat,
+        )
 
         # two compiled variants: month-shared station validity (detected per
         # run from the station set; saves 11 of 12 top_k selections) or not.
-        # pack_daily: dailies leave the device already int16-quantized —
-        # half the transfer, no host packing pass.
-        self._fns = {
-            flag: sharded_interp_tile(mesh, config.interp, flag,
-                                      pack_daily=config.output_pack)
-            for flag in (False, True)
-        }
+        # Packed mode uses the single-buffer output (FlatTileResult): the
+        # whole tile product leaves the device as ONE int16 array — on this
+        # container's tunneled device->host link, per-fetch RPC overhead and
+        # layout conversion (not host CPU) dominate the write path, and a
+        # single flat fetch measures ~1.7x faster per byte than per-field.
+        self._flat = bool(config.output_pack)
+        if self._flat:
+            self._fns = {
+                flag: sharded_interp_tile_flat(mesh, config.interp, flag)
+                for flag in (False, True)
+            }
+        else:
+            self._fns = {
+                flag: sharded_interp_tile(mesh, config.interp, flag)
+                for flag in (False, True)
+            }
         self._fn = self._fns[False]
         self._shard = lambda ti: shard_tile_inputs(mesh, ti)
+
+    def _dispatch(self, task: TileTask):
+        """Launch the device step for one tile (async) and start the
+        device->host copy so the transfer overlaps the next tile's compute."""
+        import contextlib
+
+        import jax.numpy as jnp
+
+        if self._flat:
+            slot = jnp.asarray(self.layout.slot_of_day, jnp.int32)
+            fut = self._fn(self._shard(task.inputs), slot)
+            with contextlib.suppress(Exception):  # best-effort prefetch only
+                fut.buf.copy_to_host_async()
+                fut.scales.copy_to_host_async()
+            return fut
+        return self._fn(self._shard(task.inputs))
 
     # ------------------------------------------------------------- manifest
     def _load_manifest(self) -> dict:
@@ -218,7 +247,55 @@ class TileEngine:
         return TileTask(spec=spec, inputs=ti, pool_idx=pool)
 
     # ------------------------------------------------------------- writing
+    def _write_tile_flat(self, spec: TileSpec, var: str, result) -> None:
+        """Write a FlatTileResult: slice the one fetched int16 buffer straight
+        into HDF5 datasets — no host decode/pack/reorder pass at all."""
+        from topotpu.io.ncdf import FILL_I16
+
+        cfg = self.config
+        tr, tc = cfg.tile_rows, cfg.tile_cols
+        nr, nc = spec.nrows, spec.ncols
+        ndays = self.days.ndays
+
+        buf = np.asarray(result.buf)        # (ndays + 24, C) int16, one RPC
+        sc = np.asarray(result.scales)      # (6,) f32
+        daily = buf[:ndays].reshape(ndays, tr, tc)[:, :nr, :nc]
+        normal = buf[ndays : ndays + 12].reshape(12, tr, tc)[:, :nr, :nc]
+        se = buf[ndays + 12 : ndays + 24].reshape(12, tr, tc)[:, :nr, :nc]
+        okm = normal != FILL_I16  # device ok already folds in the land mask
+
+        land = self.rasters.landmask[
+            spec.row0 : spec.row0 + nr, spec.col0 : spec.col0 + nc
+        ]
+        sub = self.rasters.grid.subgrid(spec.row0, spec.col0, nr, nc)
+        with TileWriter(
+            self._tile_file(spec, var), sub, self.days.date64,
+            pack=True, compress=self.config.output_compress,
+        ) as w:
+            w.write_daily_prepacked(
+                var, daily, float(sc[0]), float(sc[1]), long_name=f"daily {var}"
+            )
+            w.write_monthly_prepacked(
+                f"{var}_normal", normal, float(sc[2]), float(sc[3]),
+                long_name="monthly normal",
+            )
+            w.write_monthly_prepacked(
+                f"{var}_se", se, float(sc[4]), float(sc[5]),
+                long_name="kriging standard error",
+            )
+        self._record_tile(
+            self._tile_key(spec, var),
+            {
+                "file": self._tile_file(spec, var).name,
+                "cells": int(land.sum()),
+                "ok_cells": int(okm.all(0).sum()),
+                "ts": time.time(),
+            },
+        )
+
     def _write_tile(self, spec: TileSpec, var: str, result) -> None:
+        if hasattr(result, "buf"):  # FlatTileResult (packed production mode)
+            return self._write_tile_flat(spec, var, result)
         cfg = self.config
         tr, tc = cfg.tile_rows, cfg.tile_cols
         nr, nc = spec.nrows, spec.ncols
@@ -282,11 +359,14 @@ class TileEngine:
         n_done = 0
         for c0 in range(0, len(years), years_per_chunk):
             span = years[c0 : c0 + years_per_chunk]
-            d0 = f"{span[0]}-01-01"
-            d1 = f"{span[-1]}-12-31"
+            # clamp chunk bounds to the configured span so a start/end date
+            # not aligned to year boundaries keeps the sliced anomaly axis
+            # and the chunk calendar the same length
+            d0 = max(np.datetime64(f"{span[0]}-01-01"), self.days.date64[0])
+            d1 = min(np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1])
             from topotpu.core.dates import get_days_metadata
 
-            sub_days = get_days_metadata(d0, d1)
+            sub_days = get_days_metadata(str(d0), str(d1))
             day_sel = (self.days.year >= span[0]) & (self.days.year <= span[-1])
             sub_stations = dataclasses.replace(
                 stations, anoms=stations.anoms[:, day_sel]
@@ -322,7 +402,7 @@ class TileEngine:
         next_spec = next(it, None)
         task = self.prepare(next_spec, stations) if next_spec else None
         while task is not None:
-            fut = self._fn(self._shard(task.inputs))  # async dispatch
+            fut = self._dispatch(task)  # async dispatch + host-copy prefetch
             cur_spec = task.spec
             # overlap: prep next + drain previous while devices compute
             next_spec = next(it, None)

@@ -91,6 +91,32 @@ def sharded_interp_tile(
     return jax.jit(fn)
 
 
+def sharded_interp_tile_flat(
+    mesh: Mesh, params: InterpParams, shared_validity: bool = False
+):
+    """SPMD production step with the single-buffer int16 output.
+
+    Same sharding story as sharded_interp_tile; the only collectives are the
+    six scalar pmin/pmax reductions for the pack scales. The (ndays+24, C)
+    buffer keeps the cell axis sharded so each device quantizes and reorders
+    its own shard. Returns ``fn(TileInputs, slot_of_day) -> FlatTileResult``
+    where slot_of_day is the (ndays,) calendar->grouped-slot map (replicated).
+    """
+    from topotpu.interp.point import FlatTileResult, interp_tile_flat
+
+    fn = shard_map(
+        functools.partial(
+            interp_tile_flat, params=params,
+            shared_validity=shared_validity, mesh_axis=CELL_AXIS,
+        ),
+        mesh=mesh,
+        in_specs=(tile_input_specs(), P()),
+        out_specs=FlatTileResult(buf=P(None, CELL_AXIS), scales=P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def _result_specs():
     from topotpu.interp.point import TileResult
 

@@ -64,6 +64,46 @@ class TileResult(NamedTuple):
 PACK_SENTINEL = -32768  # int16 fill for non-ok cells (matches io.ncdf)
 
 
+class FlatTileResult(NamedTuple):
+    """Single-buffer device output for the production write path.
+
+    The tunneled device->host link in this container charges a fixed ~30-50 ms
+    per fetch RPC plus ~40 MB/s, and flat contiguous int16 reads ~1.7x faster
+    than the (12, C, dpm) layout (measured). So production mode packs the
+    ENTIRE per-tile product into one int16 buffer fetched with one RPC:
+
+      rows [0, ndays)            daily values, CALENDAR order (device-side
+                                 ungroup via slot_of_day gather)
+      rows [ndays, ndays+12)     monthly normals, int16-packed
+      rows [ndays+12, ndays+24)  kriging standard errors, int16-packed
+
+    Non-ok cells carry PACK_SENTINEL in every plane (so `ok` is derivable on
+    host as `normal != PACK_SENTINEL`). ``scales`` is
+    (daily_scale, daily_offset, norm_scale, norm_offset, se_scale, se_offset).
+    """
+
+    buf: jnp.ndarray     # (ndays + 24, C) int16
+    scales: jnp.ndarray  # (6,) float32
+
+
+def _quantize_plane(x, valid, mesh_axis):
+    """int16-quantize x over its valid entries with a global scale/offset."""
+    big = jnp.float32(3.0e38)
+    mn = jnp.min(jnp.where(valid, x, big))
+    mx = jnp.max(jnp.where(valid, x, -big))
+    if mesh_axis is not None:
+        mn = jax.lax.pmin(mn, mesh_axis)
+        mx = jax.lax.pmax(mx, mesh_axis)
+    has_any = mx >= mn
+    mn = jnp.where(has_any, mn, 0.0)
+    mx = jnp.where(has_any, mx, 1.0)
+    scale = jnp.maximum(mx - mn, 1e-6) / 65500.0
+    offset = (mx + mn) / 2.0
+    q = jnp.round((x - offset) / scale).astype(jnp.int16)
+    q = jnp.where(valid, q, jnp.int16(PACK_SENTINEL))
+    return q, scale.astype(jnp.float32), offset.astype(jnp.float32)
+
+
 def _local_xy_km(lon, lat, ref_lat_deg: float):
     """Equirectangular local offsets in km — GWR locational covariates."""
     kx = 111.32 * np.cos(np.deg2rad(ref_lat_deg))
@@ -282,6 +322,45 @@ def interp_tile(
         daily_scale=scale.astype(jnp.float32),
         daily_offset=offset.astype(jnp.float32),
     )
+
+
+def interp_tile_flat(
+    inputs: TileInputs,
+    slot_of_day: jnp.ndarray,
+    params: InterpParams,
+    shared_validity: bool = False,
+    mesh_axis: str | None = None,
+) -> FlatTileResult:
+    """Production-mode tile interpolation: one flat int16 output buffer.
+
+    ``slot_of_day`` is the host MonthLayout's (ndays,) map from calendar day
+    to flat (12 * dpm) month-grouped slot; the calendar reorder happens on
+    device (a row gather) so the host writes slices of the fetched buffer
+    straight into HDF5 with no decode pass. It is a runtime argument (not a
+    compile-time constant) so chunked production runs with differing leap
+    patterns share one compiled program per day-count. See FlatTileResult
+    for the buffer layout.
+    """
+    res = interp_tile(
+        inputs, params, shared_validity=shared_validity,
+        pack_daily=False, mesh_axis=None,
+    )
+    C = res.normal.shape[1]
+    dpm = res.daily.shape[-1]
+
+    valid3 = res.ok[:, :, None]                       # (12, C, 1)
+    dq, d_scale, d_off = _quantize_plane(res.daily, valid3, mesh_axis)
+    # month-grouped (12, C, dpm) -> (12*dpm, C) -> calendar (ndays, C);
+    # sentinel was applied per-month above so it survives the gather, and
+    # padding slots are never selected by slot_of_day.
+    cal = jnp.transpose(dq, (0, 2, 1)).reshape(12 * dpm, C)[
+        jnp.asarray(slot_of_day, jnp.int32)
+    ]
+    nq, n_scale, n_off = _quantize_plane(res.normal, res.ok, mesh_axis)
+    sq, s_scale, s_off = _quantize_plane(res.se, res.ok, mesh_axis)
+    buf = jnp.concatenate([cal, nq, sq], axis=0)
+    scales = jnp.stack([d_scale, d_off, n_scale, n_off, s_scale, s_off])
+    return FlatTileResult(buf=buf, scales=scales)
 
 
 # ---------------------------------------------------------------------------

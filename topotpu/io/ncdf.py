@@ -147,6 +147,21 @@ class TileWriter:
         _attach_dims(f, v, ("time", "lat", "lon"))
         return v
 
+    def write_monthly_prepacked(self, name: str, data_i16: np.ndarray,
+                                scale: float, offset: float,
+                                units="C", long_name=""):
+        """(12, nrows, ncols) already int16-quantized (device-side packing)
+        with FILL_I16 sentinel; scale/offset are the global decode params."""
+        f = self._f
+        v = f.create_dataset(name, data=data_i16, **self._copts())
+        v.attrs["scale_factor"] = np.float32(scale)
+        v.attrs["add_offset"] = np.float32(offset)
+        v.attrs["_FillValue"] = FILL_I16
+        v.attrs["units"] = units
+        v.attrs["long_name"] = long_name or name
+        _attach_dims(f, v, ("mth", "lat", "lon"))
+        return v
+
     def write_monthly(self, name: str, data: np.ndarray, units="C", long_name=""):
         """data: (12, nrows, ncols) float; NaN = masked."""
         f = self._f
