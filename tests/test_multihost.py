@@ -1,0 +1,185 @@
+"""Real multi-host production: a 2-process jax.distributed run on localhost.
+
+The reference's X1 ran `mpirun -n N` task farms across cluster nodes
+(SURVEY.md §2 X1). The rebuild's DCN story is per-process strided tile
+ownership + per-host manifests + a coordinator-side merge (dist/multihost.py)
+— this test exercises it with two actual OS processes joined through
+jax.distributed on the CPU backend, then checks disjoint coverage and that
+the merged mosaic matches a single-process run.
+"""
+
+import dataclasses
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from topotpu.core import constants as C
+from topotpu.core.config import InterpParams, MeshParams, TopoConfig
+from topotpu.core.dates import get_days_metadata
+from topotpu.io.ncdf import read_var
+from topotpu.io.rasters import RasterStack
+from topotpu.io.stndb import StationDB, write_serial_db
+from topotpu.io.synthetic import make_world
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _build_artifacts(data: pathlib.Path, cfg: TopoConfig):
+    """Synthetic world -> rasters.h5 + all_obs.h5 + serial DBs with true
+    variogram params (bypassing qa/homog/infill, covered elsewhere)."""
+    days = get_days_metadata(cfg.start_date, cfg.end_date)
+    rng = np.random.default_rng(17)
+    world = make_world(rng, nrows=32, ncols=32, n_stations=60,
+                      ndays=days.ndays, ocean_frac=0.1)
+    data.mkdir(parents=True, exist_ok=True)
+    RasterStack.from_world(world).save(data / "rasters.h5")
+
+    S = world.n_stations
+    filled = (
+        world.stn_norm[np.arange(S)[:, None], days.month_idx[None, :]]
+        + world.stn_anoms
+    ).astype(np.float32)
+    attrs = {
+        C.STN_ID: np.array([f"SYNTH{i:05d}" for i in range(S)]),
+        C.LON: world.stn_lon, C.LAT: world.stn_lat,
+        C.ELEV: world.stn_elev, C.TDI: world.stn_tdi,
+        C.LST: world.stn_lst.astype(np.float32),
+    }
+    with StationDB.create(data / "all_obs.h5", attrs, days.date64) as db:
+        db.set_obs(C.TMIN, filled)
+        db.set_obs(C.TMAX, filled + 10.0)
+
+    nug, ps, rg = world.true_vario
+    vario = np.tile(np.array([nug, ps, rg], np.float32), (S, 12, 1))
+    bad = np.zeros(S, bool)
+    with StationDB(data / "all_obs.h5") as src:
+        write_serial_db(data / "serial_tmin.h5", src, C.TMIN, filled,
+                        world.stn_norm, bad, vario)
+        write_serial_db(data / "serial_tmax.h5", src, C.TMAX, filled + 10.0,
+                        world.stn_norm + 10.0, bad, vario)
+    return world, days
+
+
+@pytest.fixture(scope="module")
+def rig(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mh")
+    data = tmp / "data"
+    cfg = TopoConfig(
+        data_dir=str(data),
+        start_date="2015-01-01", end_date="2015-02-28",
+        tile_rows=8, tile_cols=8,
+        interp=InterpParams(k_neighbors=8, k_neighbors_anom=8,
+                            max_tile_stations=64),
+        mesh=MeshParams(n_devices=2),
+    )
+    world, days = _build_artifacts(data, cfg)
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    return tmp, data, cfg, cfg_path, world, days
+
+
+def _worker_env():
+    env = dict(os.environ)
+    env["TOPOTPU_PLATFORM"] = "cpu"  # read by cli.main before device use
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    return env
+
+
+def test_two_process_interp_disjoint_and_mergeable(rig):
+    tmp, data, cfg, cfg_path, world, days = rig
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "topotpu.cli", "interp",
+             "--config", str(cfg_path),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            cwd=REPO, env=_worker_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    tiles = data / "tiles"
+    m0 = json.loads((tiles / "manifest_p000.json").read_text())["tiles"]
+    m1 = json.loads((tiles / "manifest_p001.json").read_text())["tiles"]
+    assert m0 and m1, "both hosts must have produced tiles"
+    assert not (set(m0) & set(m1)), "tile ownership must be disjoint"
+
+    # every land tile x both variables is covered by exactly one host
+    from topotpu.core.grid import Tiling
+
+    rasters = RasterStack.load(data / "rasters.h5")
+    tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    land_ids = [t.tile_id for t in tiling.land_tiles(rasters.landmask)]
+    expect = {f"{v}_{tid:05d}" for v in (C.TMIN, C.TMAX) for tid in land_ids}
+    assert set(m0) | set(m1) == expect
+    # strided ownership: host i owns tile_id % 2 == i
+    assert all(int(k.split("_")[1]) % 2 == 0 for k in m0)
+    assert all(int(k.split("_")[1]) % 2 == 1 for k in m1)
+    for key, info in {**m0, **m1}.items():
+        assert (tiles / info["file"]).exists()
+
+
+def test_mosaic_merges_hosts_and_matches_single_process(rig, tmp_path):
+    tmp, data, cfg, cfg_path, world, days = rig
+    tiles = data / "tiles"
+    assert (tiles / "manifest_p000.json").exists(), "run the 2-proc test first"
+
+    from topotpu.cli import steps
+
+    res = steps.step_mosaic(cfg)
+    assert res[C.TMIN] == res[C.TMAX] > 0
+    merged = json.loads((tiles / "manifest.json").read_text())["tiles"]
+    m0 = json.loads((tiles / "manifest_p000.json").read_text())["tiles"]
+    m1 = json.loads((tiles / "manifest_p001.json").read_text())["tiles"]
+    assert merged == {**m0, **m1}
+
+    val = steps.step_validate(cfg)
+    assert val[C.TMIN]["status"] == "ok", val
+    assert val[C.TMAX]["status"] == "ok", val
+
+    # the merged product must match a single-process engine run (different
+    # mesh size + independent pack grids -> tolerance ~2 int16 steps)
+    from topotpu.dist.engine import StationSet, TileEngine
+
+    rasters = RasterStack.load(data / "rasters.h5")
+    nug, ps, rg = world.true_vario
+    stations = StationSet(
+        lon=world.stn_lon, lat=world.stn_lat, elev=world.stn_elev,
+        tdi=world.stn_tdi, lst=world.stn_lst, norm=world.stn_norm,
+        vario=np.tile(np.array([nug, ps, rg], np.float32),
+                      (world.n_stations, 12, 1)),
+        valid=np.ones((world.n_stations, 12), bool),
+        anoms=world.stn_anoms.astype(np.float32),
+    )
+    single_cfg = dataclasses.replace(cfg, mesh=MeshParams(n_devices=8))
+    eng = TileEngine(single_cfg, rasters, days, tmp_path / "single")
+    eng.run(C.TMIN, stations, progress=False)
+
+    worst = 0.0
+    for key, info in json.loads((tiles / "manifest.json").read_text())["tiles"].items():
+        if not key.startswith(C.TMIN):
+            continue
+        a = read_var(tiles / info["file"], f"{C.TMIN}_normal")
+        b = read_var(tmp_path / "single" / info["file"], f"{C.TMIN}_normal")
+        worst = max(worst, float(np.nanmax(np.abs(a - b), initial=0.0)))
+    assert worst < 0.05, f"multi-host vs single-process normals: {worst}"

@@ -40,6 +40,18 @@ def _load_config(path: str | None) -> TopoConfig:
 
 
 def main(argv=None) -> int:
+    # Platform override hook for multi-process test rigs and CPU runs: this
+    # container's sitecustomize pins the tunneled TPU via JAX_PLATFORMS
+    # before user code runs, so an env var read HERE (before first device
+    # use) is the only reliable way for a subprocess to land on CPU.
+    import os
+
+    plat = os.environ.get("TOPOTPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     ap = argparse.ArgumentParser(prog="topotpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("stage", choices=[
@@ -54,6 +66,13 @@ def main(argv=None) -> int:
     ap.add_argument("--grid", type=int, default=96, help="synth-data grid size")
     ap.add_argument("--chunk-years", type=int, default=0,
                     help="interp: years per production chunk (0 = single span)")
+    ap.add_argument("--coordinator", default=None,
+                    help="interp: jax.distributed coordinator host:port "
+                         "(multi-host production)")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="interp: total processes in the multi-host job")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="interp: this process's rank [0, num-processes)")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -88,7 +107,12 @@ def main(argv=None) -> int:
     if stage in ("krig-params", "all"):
         report("krig-params", steps.step_krig_params(cfg))
     if stage in ("interp", "all"):
-        report("interp", steps.step_interp(cfg, chunk_years=args.chunk_years))
+        from topotpu.dist.multihost import init_multihost
+
+        ctx = init_multihost(args.coordinator, args.num_processes,
+                             args.process_id)
+        report("interp", steps.step_interp(cfg, chunk_years=args.chunk_years,
+                                           ctx=ctx))
     if stage in ("mosaic", "all"):
         report("mosaic", steps.step_mosaic(cfg))
     if stage in ("validate", "all"):

@@ -266,16 +266,18 @@ def _station_set(path, days) -> "StationSet":
         )
 
 
-def step_interp(cfg: TopoConfig, chunk_years: int = 0) -> dict:
+def step_interp(cfg: TopoConfig, chunk_years: int = 0, ctx=None) -> dict:
     """chunk_years > 0 switches to the config-#5 chunked production driver
     (mandatory for multi-decade spans: the device daily buffer scales with
-    the chunk length, not the full 1948-2016 span)."""
+    the chunk length, not the full 1948-2016 span). ``ctx`` is a
+    MultihostContext: each process interpolates its strided tile subset
+    against its local device mesh and keeps its own manifest."""
     from topotpu.dist.engine import TileEngine
 
     p = _paths(cfg)
     days = _days(cfg)
     rasters = RasterStack.load(p["rasters"])
-    eng = TileEngine(cfg, rasters, days, p["tiles"])
+    eng = TileEngine(cfg, rasters, days, p["tiles"], ctx=ctx)
     out = {}
     for var in (C.TMIN, C.TMAX):
         stations = _station_set(p[f"serial_{var}"], days)
@@ -370,6 +372,13 @@ def step_mosaic(cfg: TopoConfig) -> dict:
     days = _days(cfg)
     rasters = RasterStack.load(p["rasters"])
     tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    # multi-host runs leave one manifest per process; union them into the
+    # canonical manifest.json (coordinator-only stage, shared filesystem)
+    from topotpu.dist.multihost import merge_manifests
+
+    merge_manifests(p["tiles"])
+    for chunk_dir in sorted(p["tiles"].glob("chunk_*_*")):
+        merge_manifests(chunk_dir)
     out = {}
     for var in (C.TMIN, C.TMAX):
         dst = p[f"mosaic_{var}"]

@@ -79,7 +79,10 @@ class TileEngine:
         out_dir: str | pathlib.Path,
         mesh=None,
         margin_km: float = 250.0,
+        ctx=None,
     ):
+        from topotpu.dist.multihost import MultihostContext
+
         self.config = config
         self.rasters = rasters
         self.days = days
@@ -88,18 +91,24 @@ class TileEngine:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.tiling = Tiling(rasters.grid, config.tile_rows, config.tile_cols)
         self.margin_km = margin_km
-        self.manifest_path = self.out_dir / "manifest.json"
+        # multi-host: each process owns a strided tile subset and its own
+        # manifest file (single-writer by disjointness; merged at mosaic)
+        self.ctx = ctx or MultihostContext()
+        self.manifest_path = self.out_dir / self.ctx.manifest_name()
         self.manifest = self._load_manifest()
 
         if mesh is None:
             from topotpu.dist.mesh import make_mesh
 
-            n_dev = config.mesh.n_devices or len(jax.devices())
+            # local devices only: in a multi-host job each process runs its
+            # own SPMD program over its own chips (ICI); tiles never span DCN
+            local = jax.local_devices()
+            n_dev = config.mesh.n_devices or len(local)
             # mesh size must divide the padded cell count
             cells = config.tile_rows * config.tile_cols
             while cells % n_dev:
                 n_dev -= 1
-            mesh = make_mesh(n_dev)
+            mesh = make_mesh(n_dev, devices=local)
         self.mesh = mesh
 
         from topotpu.dist.mesh import (
@@ -165,6 +174,8 @@ class TileEngine:
 
     def pending_tiles(self, var: str) -> Iterator[TileSpec]:
         for ts in self.tiling.land_tiles(self.rasters.landmask):
+            if not self.ctx.owns_tile(ts.tile_id):
+                continue
             key = self._tile_key(ts, var)
             done = self.manifest["tiles"].get(key)
             if done and self._tile_file(ts, var).exists():
@@ -378,6 +389,7 @@ class TileEngine:
                 self.out_dir / f"chunk_{span[0]}_{span[-1]}",
                 mesh=self.mesh,
                 margin_km=self.margin_km,
+                ctx=self.ctx,
             )
             # reuse this engine's compiled steps (same static shapes when
             # the chunk has the same dpm; else the jit cache recompiles once)
