@@ -83,6 +83,26 @@ def test_build_station_db(tmp_path):
         assert abs(tmin[0, 0] - vals[0] / 10.0) < 1e-6
 
 
+def test_build_db_drops_stations_without_coordinates(tmp_path):
+    """A .dly station absent from the inventory keeps NaN lon/lat; it must
+    be dropped here or NaN distances would silently shrink neighborhoods."""
+    days = get_days_metadata("2015-01-01", "2015-12-31")
+    vals = list(range(1, 32))
+    lines = [_dly_line("USC00099999", 2015, m, "TMIN", vals) for m in range(1, 13)]
+    orphan = InsertGhcn({}).parse_dly("\n".join(lines))  # not in inventory
+    assert not np.isfinite(orphan.lon)
+    sid = "USC00012345"
+    inv = {sid: {"lat": 40.0, "lon": -103.0, "elev": 1000.0, "state": "CO",
+                 "name": "A"}}
+    good = InsertGhcn(inv).parse_dly(
+        "\n".join(_dly_line(sid, 2015, m, "TMIN", vals) for m in range(1, 13))
+    )
+    p = tmp_path / "all_obs.h5"
+    with build_station_db(p, [orphan, good], days) as db:
+        assert db.n_stations == 1
+        assert db.stn(C.STN_ID)[0] == sid
+
+
 def test_download_gated():
     url = ghcnd_station_url("USC00012345")
     assert url.endswith("USC00012345.dly")

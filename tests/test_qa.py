@@ -44,10 +44,14 @@ def test_planted_defects_caught(network):
     tmin[2, 300:330] = 5.0                   # 30-day streak
     tmin[3, 400] = tmax[3, 400] + 5.0        # tmax < tmin
     tmax[4, 500] += 30.0                     # spike vs both neighbors
-    # duplicated year: copy 2012 into 2013
-    y12 = days.year == 2012
+    # duplicated year: copy 2012 into 2013 date-aligned (month/day), the way
+    # a real duplication happens; 2012 is a leap year, so a positional copy
+    # would shift every post-February day by one calendar date
     y13 = days.year == 2013
-    tmin[5, np.flatnonzero(y13)[:365]] = tmin[5, np.flatnonzero(y12)[:365]]
+    slot = (days.month - 1) * 31 + (days.day - 1)
+    src_of_slot = {slot[i]: i for i in np.flatnonzero(days.year == 2012)}
+    for i in np.flatnonzero(y13):
+        tmin[5, i] = tmin[5, src_of_slot[slot[i]]]
 
     ft, fx = run_qa_non_spatial(tmin, tmax, days)
     assert ft[0, 100] == C.QA_IMPOSS_VALUE
@@ -58,6 +62,26 @@ def test_planted_defects_caught(network):
     assert (ft[5, y13] == C.QA_DUP_YEAR).sum() > 300
     # untouched stations stay clean
     assert (ft[10:] != C.QA_OK).mean() < 1e-3
+
+
+def test_monotone_ramp_not_flagged_as_spike():
+    """Durre's spike/dip requires the excursion to oppose BOTH neighbors;
+    a steep monotone ramp (e.g. a >25C/day frontal passage over two days)
+    must not be flagged, while true spikes/dips still are."""
+    from topotpu.qa.qa_temp import check_spike_dip
+
+    obs = np.zeros((1, 9), np.float32)
+    obs[0] = [0.0, 26.0, 52.0, 52.0, 52.0, 80.0, 52.0, 52.0, 24.0]
+    #          ramp up x2 ------------^     spike^            ^dip (-28 both)
+    flags = np.full(obs.shape, C.QA_OK, np.uint8)
+    check_spike_dip(obs, flags)
+    assert flags[0, 1] == C.QA_OK and flags[0, 2] == C.QA_OK  # monotone ramp
+    assert flags[0, 5] == C.QA_SPIKE_DIP                      # true spike
+    assert flags[0, 8] == C.QA_OK  # series edge: no next neighbor
+    obs2 = np.array([[50.0, 50.0, 20.0, 50.0, 50.0]], np.float32)
+    flags2 = np.full(obs2.shape, C.QA_OK, np.uint8)
+    check_spike_dip(obs2, flags2)
+    assert flags2[0, 2] == C.QA_SPIKE_DIP                     # true dip
 
 
 def test_spatial_regression_catches_isolated_error(network):

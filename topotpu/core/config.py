@@ -25,8 +25,12 @@ class InterpParams:
     k_neighbors_anom: int = 32     # GWR daily-anomaly neighborhood size
     max_tile_stations: int = 512   # per-tile station pool (padded)
     min_neighbors: int = 3         # below this a cell is flagged, not solved
-    trend_covariates: tuple[str, ...] = ("elev", "tdi", "lst")  # + implicit 1/lon/lat
-    anom_covariates: tuple[str, ...] = ("elev",)                # + implicit 1/lon/lat
+    # Covariate sets are FIXED by design, not configurable: the normals
+    # trend uses (1, elev, tdi, lst_month) and the anomaly GWR uses
+    # (1, elev, local_x, local_y) — see interp/point.py. The variogram
+    # params are fit to residuals of exactly the trend design
+    # (interp/params.py), so changing one without the other silently breaks
+    # the kriging model; a knob here would be a footgun, not flexibility.
     weight_kernel: str = "bisquare"  # distance kernel for GWR/param interp
     ridge: float = 1e-6            # normal-equation ridge for f32 conditioning
     chol_jitter: float = 1e-5      # kriging matrix jitter (fraction of sill)
@@ -108,8 +112,8 @@ class TopoConfig:
 
 
 def _tup(d: dict) -> dict:
-    d = dict(d)
-    for key in ("trend_covariates", "anom_covariates"):
-        if key in d and isinstance(d[key], list):
-            d[key] = tuple(d[key])
-    return d
+    # drop the removed covariate knobs from old config files; tuple-ify any
+    # remaining list-valued fields for the frozen dataclass
+    d = {k: v for k, v in d.items()
+         if k not in ("trend_covariates", "anom_covariates")}
+    return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}

@@ -380,8 +380,6 @@ class MonthLayout(NamedTuple):
 def month_layout(days: DaysMetadata) -> MonthLayout:
     counts = np.zeros(12, dtype=np.int64)
     slot = np.empty(days.ndays, dtype=np.int64)
-    for i, m in enumerate(days.month_idx):
-        slot[i] = m * 0  # placeholder, set below
     # per-month running position
     pos = np.zeros(12, dtype=np.int64)
     for i, m in enumerate(days.month_idx):

@@ -184,6 +184,12 @@ def build_station_db(
 
     keep: list[ParsedStation] = []
     for ps in parsed:
+        # a station absent from the inventory keeps NaN lon/lat/elev, which
+        # would flow into haversine/top_k as NaN distances downstream —
+        # drop it here (the reference's location screen, qa_location's job
+        # for the subtler cases)
+        if not all(np.isfinite(v) for v in (ps.lon, ps.lat, ps.elev)):
+            continue
         n = sum(1 for y in ps.tmin if y in ymd_to_idx) + sum(
             1 for y in ps.tmax if y in ymd_to_idx
         )

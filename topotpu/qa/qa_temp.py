@@ -109,13 +109,18 @@ def check_duplicate_years(obs, flags, days: DaysMetadata):
     years = days.years
     S = obs.shape[0]
     ymasks = [days.year == y for y in years]
+    # align years on (month, day) — a fixed 12*31 slot per calendar date —
+    # so leap vs non-leap years compare Mar-1 to Mar-1, not off-by-one
+    slot = (days.month - 1) * 31 + (days.day - 1)
     for s in range(S):
-        series = [np.where(ymasks[i], obs[s], np.nan)[ymasks[i]][:365] for i in range(len(years))]
+        series = []
+        for ym in ymasks:
+            y = np.full(12 * 31, np.nan, obs.dtype)
+            y[slot[ym]] = obs[s, ym]
+            series.append(y)
         for i in range(len(years)):
             for j in range(i + 1, len(years)):
                 a, b = series[i], series[j]
-                n = min(len(a), len(b))
-                a, b = a[:n], b[:n]
                 both = np.isfinite(a) & np.isfinite(b)
                 if both.sum() >= 180 and np.array_equal(a[both], b[both]):
                     for m, ym in ((i, ymasks[i]), (j, ymasks[j])):
@@ -203,11 +208,16 @@ def check_mega_consistency(tmax, tmin, flags_tmax, flags_tmin, days: DaysMetadat
 
 
 def check_spike_dip(obs, flags):
+    """Durre et al. spike/dip: the excursion must OPPOSE both neighbors —
+    a spike sits above prev and next, a dip below both. A genuine monotone
+    ramp (large same-sign day-to-day changes) is not flagged."""
     v = np.where(_valid(obs, flags), obs, np.nan)
-    d_prev = np.abs(np.diff(v, axis=1, prepend=np.nan))
-    d_next = np.abs(np.diff(v[:, ::-1], axis=1, prepend=np.nan))[:, ::-1]
-    bad = (d_prev > SPIKE_THRESHOLD) & (d_next > SPIKE_THRESHOLD)
-    _flag(flags, np.nan_to_num(bad.astype(float)).astype(bool), C.QA_SPIKE_DIP)
+    d_prev = np.diff(v, axis=1, prepend=np.nan)            # v_t - v_{t-1}
+    d_next = -np.diff(v, axis=1, append=np.nan)            # v_t - v_{t+1}
+    spike = (d_prev > SPIKE_THRESHOLD) & (d_next > SPIKE_THRESHOLD)
+    dip = (d_prev < -SPIKE_THRESHOLD) & (d_next < -SPIKE_THRESHOLD)
+    bad = spike | dip  # NaN comparisons are False: series edges never flag
+    _flag(flags, bad, C.QA_SPIKE_DIP)
 
 
 def check_gap(obs, flags, days: DaysMetadata):
