@@ -42,3 +42,10 @@ def test_cli_full_pipeline(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["stage"] == "optim-nnghs"
     assert out["result"]["best_k_by_region"]
+
+    rc = main(["validate-f64", "--config", str(cfg_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["stage"] == "validate-f64"
+    assert out["result"]["tmin"]["within_parity_bar"] is True
+    assert out["result"]["tmax"]["within_parity_bar"] is True

@@ -15,7 +15,9 @@ Stages (in pipeline order):
     krig-params  per-station variogram fits -> serial DB attrs
     interp       gridded tile interpolation -> tiles/
     mosaic       merge tiles -> mosaic_{var}.h5
-    all          synth-data .. mosaic in sequence
+    validate     output integrity / coverage report
+    validate-f64 re-run sample tiles at float64 on CPU, report f32 error
+    all          synth-data .. validate in sequence
     xval-interp  leave-one-station-out normals scores
     xval-infill  hold-out infill scores
 """
@@ -56,7 +58,7 @@ def main(argv=None) -> int:
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("stage", choices=[
         "synth-data", "download", "build-db", "qa", "homog", "infill",
-        "krig-params", "interp", "mosaic", "validate", "all",
+        "krig-params", "interp", "mosaic", "validate", "validate-f64", "all",
         "xval-interp", "xval-daily", "xval-infill", "optim-nnghs",
     ])
     ap.add_argument("--config", help="TopoConfig JSON path")
@@ -117,6 +119,8 @@ def main(argv=None) -> int:
         report("mosaic", steps.step_mosaic(cfg))
     if stage in ("validate", "all"):
         report("validate", steps.step_validate(cfg))
+    if stage == "validate-f64":
+        report("validate-f64", steps.step_validate_f64(cfg))
     if stage == "optim-nnghs":
         report("optim-nnghs", steps.step_optim_nnghs(cfg))
 

@@ -324,6 +324,44 @@ def step_validate(cfg: TopoConfig) -> dict:
     return out
 
 
+def step_validate_f64(cfg: TopoConfig, n_tiles: int = 1) -> dict:
+    """f64 end-to-end validation mode (SURVEY §7 "f32 vs f64"): re-run a
+    sample of production tiles at float64 on CPU through the identical code
+    path and report the f32 error. The reference computed in f64 throughout
+    (numpy/R), so this quantifies rebuild-vs-reference solve numerics."""
+    from topotpu.dist.engine import TileEngine
+    from topotpu.interp.f64check import compare_f32_f64
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    rasters = RasterStack.load(p["rasters"])
+    eng = TileEngine(cfg, rasters, days, p["tiles"])
+    out = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"serial_{var}"]
+        if not path.exists():
+            out[var] = {"status": "missing serial DB"}
+            continue
+        stations = _station_set(path, days)
+        reports = []
+        for spec in list(eng.tiling.land_tiles(rasters.landmask))[:n_tiles]:
+            task = eng.prepare(spec, stations)
+            reports.append(compare_f32_f64(task.inputs, cfg.interp))
+        out[var] = {
+            "tiles": len(reports),
+            "normal_rmse": max(r["normal"]["rmse"] for r in reports),
+            "normal_max": max(r["normal"]["max"] for r in reports),
+            "daily_rmse": max(r["daily"]["rmse"] for r in reports),
+            "se_rmse": max(r["se"]["rmse"] for r in reports),
+            "ok_flip_rate": max(r["ok_flip_rate"] for r in reports),
+            "within_parity_bar": all(
+                r["normal"]["rmse"] < 0.05 and r["daily"]["rmse"] < 0.05
+                for r in reports
+            ),
+        }
+    return out
+
+
 # ----------------------------------------------------- stage: optim-nnghs
 
 
