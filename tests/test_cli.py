@@ -43,9 +43,65 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert out["stage"] == "optim-nnghs"
     assert out["result"]["best_k_by_region"]
 
+    # region-raster input: quadrant labels on the run grid -> per-region k
+    import h5py
+    import numpy as np
+
+    reg = np.zeros((24, 24), np.int32)
+    reg[:12, 12:] = 1
+    reg[12:, :12] = 2
+    reg[12:, 12:] = 3
+    reg_path = tmp_path / "regions.h5"
+    with h5py.File(reg_path, "w") as f:
+        f.create_dataset("regions", data=reg)
+    rc = main(["optim-nnghs", "--config", str(cfg_path),
+               "--regions", str(reg_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    got = set(out["result"]["best_k_by_region"])
+    assert got <= {"0", "1", "2", "3"} and len(got) >= 2
+
     rc = main(["validate-f64", "--config", str(cfg_path)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["stage"] == "validate-f64"
     assert out["result"]["tmin"]["within_parity_bar"] is True
     assert out["result"]["tmax"]["within_parity_bar"] is True
+
+
+def test_reconcile_cross_variable(tmp_path):
+    """Adversarial tmin/tmax: planted crossings are found, reconciled to the
+    midpoint (mean-preserving), and everything else is untouched."""
+    import h5py
+    import numpy as np
+
+    from topotpu.cli.steps import reconcile_cross_variable
+
+    rng = np.random.default_rng(5)
+    tmin = rng.normal(0, 5, (100, 8, 8)).astype(np.float32)
+    tmax = tmin + 8.0
+    tmin[3, 2, 2], tmax[3, 2, 2] = 10.0, 7.0    # crossing of 3.0 C
+    tmax[40, 5, 1] = tmin[40, 5, 1] - 0.25      # sub-noise crossing
+    tmin[7, 0, 0] = np.nan                       # masked cells stay masked
+    tmax[9, 1, 1] = np.nan
+
+    pn, px = tmp_path / "mosaic_tmin.h5", tmp_path / "mosaic_tmax.h5"
+    with h5py.File(pn, "w") as f:
+        f.create_dataset("tmin", data=tmin)
+    with h5py.File(px, "w") as f:
+        f.create_dataset("tmax", data=tmax)
+
+    res = reconcile_cross_variable(pn, px, time_chunk=16)
+    assert res["violations"] == 2
+    assert abs(res["worst_crossing_C"] - 3.0) < 1e-6
+
+    with h5py.File(pn) as f:
+        a = f["tmin"][...]
+    with h5py.File(px) as f:
+        b = f["tmax"][...]
+    assert abs(a[3, 2, 2] - 8.5) < 1e-6 and abs(b[3, 2, 2] - 8.5) < 1e-6
+    fin = np.isfinite(a) & np.isfinite(b)
+    assert (b[fin] >= a[fin]).all()
+    assert np.isnan(a[7, 0, 0]) and np.isnan(b[9, 1, 1])
+    # untouched elsewhere
+    assert abs(b[50, 3, 3] - (a[50, 3, 3] + 8.0)) < 1e-6

@@ -122,6 +122,23 @@ def test_engine_monthly_varying_validity(tmp_path, setup):
     )
 
 
+def test_asin_window_guard(tmp_path, setup):
+    """The fused kernel's Taylor-asin is only exact below ~2500 km pair
+    distance; an engine whose tile+margin could exceed it must refuse
+    rather than silently degrade (documented validity -> checked invariant)."""
+    world, days, rasters, stations = setup
+    with pytest.raises(ValueError, match="Taylor-asin"):
+        TileEngine(_config(), rasters, days, tmp_path / "out",
+                   margin_km=2000.0)
+    # and the jnp (exact asin) path is exempt
+    import dataclasses
+
+    cfg = _config()
+    cfg = dataclasses.replace(
+        cfg, interp=dataclasses.replace(cfg.interp, use_pallas="off"))
+    TileEngine(cfg, rasters, days, tmp_path / "out2", margin_km=2000.0)
+
+
 def test_engine_separate_variables(tmp_path, setup):
     world, days, rasters, stations = setup
     out = tmp_path / "out"

@@ -75,6 +75,9 @@ def main(argv=None) -> int:
                     help="interp: total processes in the multi-host job")
     ap.add_argument("--process-id", type=int, default=None,
                     help="interp: this process's rank [0, num-processes)")
+    ap.add_argument("--regions", default=None,
+                    help="optim-nnghs: HDF5 region raster (int 'regions' "
+                         "dataset on the run grid, e.g. climate divisions)")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -122,7 +125,8 @@ def main(argv=None) -> int:
     if stage == "validate-f64":
         report("validate-f64", steps.step_validate_f64(cfg))
     if stage == "optim-nnghs":
-        report("optim-nnghs", steps.step_optim_nnghs(cfg))
+        report("optim-nnghs",
+               steps.step_optim_nnghs(cfg, regions_path=args.regions))
 
     if stage == "xval-interp":
         import numpy as np

@@ -321,6 +321,24 @@ def step_validate(cfg: TopoConfig) -> dict:
             "se_coverage": round(cov_se, 4),
             "daily_coverage": round(cov_d, 4),
         }
+    # cross-variable physical consistency: daily tmax must be >= tmin
+    # everywhere (mosaic reconciles; this is the independent re-check)
+    pn, px = p[f"mosaic_{C.TMIN}"], p[f"mosaic_{C.TMAX}"]
+    if pn.exists() and px.exists():
+        n_viol = 0
+        n_total = 0
+        with h5py.File(pn) as fn, h5py.File(px) as fx:
+            dn, dx = fn[C.TMIN], fx[C.TMAX]
+            for t0 in range(0, dn.shape[0], 64):
+                a = dn[t0 : t0 + 64]
+                b = dx[t0 : t0 + 64]
+                fin = np.isfinite(a) & np.isfinite(b)
+                n_viol += int((fin & (b < a)).sum())
+                n_total += int(fin.sum())
+        out["crossvar"] = {
+            "violations": n_viol,
+            "rate": (n_viol / n_total) if n_total else 0.0,
+        }
     return out
 
 
@@ -365,9 +383,16 @@ def step_validate_f64(cfg: TopoConfig, n_tiles: int = 1) -> dict:
 # ----------------------------------------------------- stage: optim-nnghs
 
 
-def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48)) -> dict:
-    """Neighborhood-size optimization via LOO x-val (SURVEY §2.16). Regions
-    are coarse 5-degree latitude bands standing in for climate divisions."""
+def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
+                     regions_path: str | None = None) -> dict:
+    """Neighborhood-size optimization via LOO x-val (SURVEY §2.16).
+
+    ``regions_path``: an HDF5 file with an integer ``regions`` dataset on
+    the run's grid (e.g. rasterized climate divisions); station labels are
+    sampled at station locations. Without it, coarse 5-degree latitude
+    bands stand in for climate divisions."""
+    import h5py
+
     from topotpu.interp.xval import optimize_nnghs
 
     p = _paths(cfg)
@@ -378,7 +403,17 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48)) -> dict:
         )
         bad = db.stn(C.BAD).astype(bool)
         lat = db.stn(C.LAT)
-        regions = (lat // 5.0).astype(int)
+        if regions_path:
+            rasters = RasterStack.load(p["rasters"])
+            with h5py.File(regions_path) as f:
+                reg_grid = f["regions"][...]
+            assert reg_grid.shape == rasters.grid.shape, (
+                f"region raster {reg_grid.shape} != grid {rasters.grid.shape}"
+            )
+            rows, cols = rasters.grid.rowcol(db.stn(C.LON), lat)
+            regions = reg_grid[rows, cols].astype(int)
+        else:
+            regions = (lat // 5.0).astype(int)
         out = optimize_nnghs(
             db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
             db.stn(C.LST), db.stn(C.NORM), vario,
@@ -392,6 +427,41 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48)) -> dict:
         "global_mae_by_k": {
             str(k): float(v.mean()) for k, v in out["mae"].items()
         },
+    }
+
+
+def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
+    """Cross-variable consistency (SURVEY §2.14: PtInterpTair validates
+    tmax > tmin): the two variables are interpolated independently, so rare
+    sub-noise crossings can occur where the diurnal range approaches zero.
+    Where daily tmax < tmin, set both to their midpoint — mean-preserving,
+    collapsing the (already non-physical) negative diurnal range to zero.
+    Streams over the time axis; returns violation statistics."""
+    import h5py
+
+    n_viol = 0
+    n_total = 0
+    worst = 0.0
+    with h5py.File(p_tmin, "r+") as fn, h5py.File(p_tmax, "r+") as fx:
+        dn, dx = fn[C.TMIN], fx[C.TMAX]
+        assert dn.shape == dx.shape
+        for t0 in range(0, dn.shape[0], time_chunk):
+            a = dn[t0 : t0 + time_chunk]
+            b = dx[t0 : t0 + time_chunk]
+            bad = np.isfinite(a) & np.isfinite(b) & (b < a)
+            n_total += int(np.isfinite(a).sum())
+            if bad.any():
+                n_viol += int(bad.sum())
+                worst = max(worst, float((a - b)[bad].max()))
+                mid = 0.5 * (a + b)
+                dn[t0 : t0 + time_chunk] = np.where(bad, mid, a)
+                dx[t0 : t0 + time_chunk] = np.where(bad, mid, b)
+        fn.attrs["crossvar_violations"] = n_viol
+        fx.attrs["crossvar_violations"] = n_viol
+    return {
+        "violations": n_viol,
+        "rate": (n_viol / n_total) if n_total else 0.0,
+        "worst_crossing_C": worst,
     }
 
 
@@ -467,4 +537,8 @@ def step_mosaic(cfg: TopoConfig) -> dict:
             f.attrs["cellsize"] = rasters.grid.cellsize
         tmp.replace(dst)
         out[var] = n
+    if out.get(C.TMIN) and out.get(C.TMAX):
+        out["crossvar"] = reconcile_cross_variable(
+            p[f"mosaic_{C.TMIN}"], p[f"mosaic_{C.TMAX}"]
+        )
     return out

@@ -68,6 +68,15 @@ class GridSpec:
         lat = self.lat0 - np.asarray(rows) * self.cellsize
         return lon, lat
 
+    def rowcol(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Nearest cell indices for points, clipped to the grid."""
+        rows = np.round((self.lat0 - np.asarray(lat)) / self.cellsize).astype(int)
+        cols = np.round((np.asarray(lon) - self.lon0) / self.cellsize).astype(int)
+        return (
+            np.clip(rows, 0, self.nrows - 1),
+            np.clip(cols, 0, self.ncols - 1),
+        )
+
     def lonlat_grids(self) -> tuple[np.ndarray, np.ndarray]:
         """Full (nrows, ncols) lon and lat center grids."""
         cols = np.arange(self.ncols)

@@ -91,6 +91,26 @@ class TileEngine:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.tiling = Tiling(rasters.grid, config.tile_rows, config.tile_cols)
         self.margin_km = margin_km
+        # Enforce the Taylor-asin validity window as a checked invariant:
+        # the fused Pallas kriging kernel computes pair distances with a
+        # truncated asin that is exact only below ASIN_VALID_KM. The largest
+        # pair distance any kernel instance can see is the diagonal of the
+        # tile bbox padded by the station-pool margin on every side.
+        if config.interp.use_pallas != "off":
+            from topotpu.kernels.pallas_krig import ASIN_VALID_KM
+
+            km_per_deg = 111.32  # meridian scale; honest worst case for lon
+            h_km = config.tile_rows * rasters.grid.cellsize * km_per_deg
+            w_km = config.tile_cols * rasters.grid.cellsize * km_per_deg
+            chord = float(np.hypot(h_km + 2 * margin_km, w_km + 2 * margin_km))
+            if chord > ASIN_VALID_KM:
+                raise ValueError(
+                    f"station pool may span {chord:.0f} km "
+                    f"(tile {config.tile_rows}x{config.tile_cols} cells + "
+                    f"{margin_km:.0f} km margin), beyond the fused kernel's "
+                    f"Taylor-asin validity window ({ASIN_VALID_KM:.0f} km); "
+                    "shrink tiles/margin or set interp.use_pallas='off'"
+                )
         # multi-host: each process owns a strided tile subset and its own
         # manifest file (single-writer by disjointness; merged at mosaic)
         self.ctx = ctx or MultihostContext()

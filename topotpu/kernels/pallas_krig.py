@@ -35,6 +35,13 @@ _OUT_EXTRA = 8  # rows after the k weight rows: [var, ok, t, pad...]
 
 EARTH_RADIUS_KM = 6371.0087714
 
+# Validity window of the in-kernel Taylor asin (see _krig_kernel_xyz): the
+# 4-term odd series is exact to <1e-6 relative for half-chord < 0.2, i.e.
+# pair distances below ~2500 km. Callers whose station pools could span more
+# must fall back to the exact-asin (jnp) path — the TileEngine derives its
+# worst-case pool chord from tile extent + margin and enforces this bound.
+ASIN_VALID_KM = 2.0 * EARTH_RADIUS_KM * 0.2  # ~2548 km
+
 
 def _krig_kernel(dp_ref, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
                  Cs, y0, y1, *, k: int, lanes: int, jitter_frac: float,
