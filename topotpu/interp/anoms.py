@@ -19,7 +19,15 @@ reference comes from.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Solve-chain matmuls must run at full f32 fidelity: the TPU MXU default
+# (bf16 inputs) costs DEGREES of error in the WLS/kriging chain (measured
+# 2.5-8.9 C vs the CPU oracle on the jnp fallback path) while these ops are
+# FLOP-trivial next to the Pallas kernels. No-op on CPU.
+HI = jax.lax.Precision.HIGHEST
+
 
 from topotpu.geo.neighbors import distance_weights
 from topotpu.kernels.wls import batched_gwr_gain, center_design
@@ -61,7 +69,8 @@ def predict_daily(
 
     One MXU matmul replaces D per-cell lstsq solves.
     """
-    return jnp.dot(G, stn_anoms, preferred_element_type=G.dtype)
+    return jnp.dot(G, stn_anoms, preferred_element_type=G.dtype,
+                   precision=HI)
 
 
 def predict_daily_gathered(
@@ -76,4 +85,4 @@ def predict_daily_gathered(
     (single-year chunks); the tile facade picks per configuration."""
     g = jnp.where(mask, gains, 0.0)
     rows = jnp.take(stn_anoms, idx, axis=0)          # (C, k, D)
-    return jnp.einsum("ck,ckd->cd", g, rows)
+    return jnp.einsum("ck,ckd->cd", g, rows, precision=HI)

@@ -22,6 +22,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# Solve-chain matmuls must run at full f32 fidelity: the TPU MXU default
+# (bf16 inputs) costs DEGREES of error in the WLS/kriging chain (measured
+# 2.5-8.9 C vs the CPU oracle on the jnp fallback path) while these ops are
+# FLOP-trivial next to the Pallas kernels. No-op on CPU.
+HI = jax.lax.Precision.HIGHEST
+
+
 from topotpu.geo.distance import pairwise_km_from_xyz
 from topotpu.geo.neighbors import distance_weights
 from topotpu.kernels.cholesky import assemble_exp_cov, ok_solve
@@ -42,7 +49,7 @@ def interp_cell_variogram(
 ) -> jnp.ndarray:
     """(C, k, 3) station params + (C, k) weights -> (C, 3) cell params."""
     wsum = jnp.sum(w, axis=-1, keepdims=True) + 1e-30
-    v = jnp.einsum("ck,ckp->cp", w, nbr_vario) / wsum
+    v = jnp.einsum("ck,ckp->cp", w, nbr_vario, precision=HI) / wsum
     nug = jnp.maximum(v[..., 0], 0.0)
     psill = jnp.maximum(v[..., 1], 1e-6)
     rng = jnp.maximum(v[..., 2], 1e-2)
@@ -95,7 +102,7 @@ def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
 def _krig_normals_fused(
     dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
     ridge, jitter_frac, min_neighbors,
-    anom_cov=None, cell_anom_cov=None,
+    anom_cov=None, cell_anom_cov=None, weight_kernel="bisquare",
 ):
     """Whole-chain fusion via kernels/pallas_krig.krig_normals_fused —
     weights/design/WLS/variogram-interp/kriging (+ optional anomaly-GWR
@@ -143,6 +150,7 @@ def _krig_normals_fused(
     out = krig_normals_fused(
         xyz3k, dist_t, mask_t, covs, cell8, norm_t, vario, acovs,
         ridge=ridge, jitter_frac=jitter_frac, min_neighbors=min_neighbors,
+        weight_kernel=weight_kernel,
         # forcing use_pallas="on" off-TPU runs the interpreter (tests only)
         interpret=jax.default_backend() != "tpu",
     )
@@ -170,11 +178,12 @@ def krig_normals_and_gains(
 
     On TPU this is one fused kernel; otherwise it composes the jnp paths
     (kernels.wls.batched_gwr_gain)."""
-    if _use_pallas(use_pallas) and weight_kernel == "bisquare":
+    if _use_pallas(use_pallas):
         return _krig_normals_fused(
             dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
             ridge, jitter_frac, min_neighbors,
             anom_cov=anom_cov, cell_anom_cov=cell_anom_cov,
+            weight_kernel=weight_kernel,
         )
     res = krig_normals(
         dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
@@ -213,10 +222,10 @@ def krig_normals(
       nbr_norm: (C, k) neighbor station monthly normals.
       nbr_vario: (C, k, 3) per-station (nugget, psill, range).
     """
-    if _use_pallas(use_pallas) and weight_kernel == "bisquare":
+    if _use_pallas(use_pallas):
         res, _ = _krig_normals_fused(
             dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
-            ridge, jitter_frac, min_neighbors,
+            ridge, jitter_frac, min_neighbors, weight_kernel=weight_kernel,
         )
         return res
 
@@ -225,8 +234,8 @@ def krig_normals(
     # --- GWR trend (the reference's trend surface) ---
     X, x0, _ = center_design(nbr_cov, cell_cov, w)
     beta = batched_wls(X, nbr_norm, w, ridge)
-    trend_cell = jnp.einsum("cp,cp->c", x0, beta)
-    trend_at_stn = jnp.einsum("ckp,cp->ck", X, beta)
+    trend_cell = jnp.einsum("cp,cp->c", x0, beta, precision=HI)
+    trend_at_stn = jnp.einsum("ckp,cp->ck", X, beta, precision=HI)
     resid = jnp.where(mask, nbr_norm - trend_at_stn, 0.0)
 
     # --- per-cell variogram params (interpolated, not refit: SURVEY §3.3) ---

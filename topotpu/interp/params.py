@@ -21,6 +21,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Solve-chain matmuls must run at full f32 fidelity: the TPU MXU default
+# (bf16 inputs) costs DEGREES of error in the WLS/kriging chain (measured
+# 2.5-8.9 C vs the CPU oracle on the jnp fallback path) while these ops are
+# FLOP-trivial next to the Pallas kernels. No-op on CPU.
+HI = jax.lax.Precision.HIGHEST
+
 import numpy as np
 
 from topotpu.core.config import InterpParams, VariogramParams
@@ -73,7 +80,8 @@ def build_krig_params(
         X, _, _ = center_design(nbr_cov, cell_cov, w)
         y = take(stn_norm[:, m])
         beta = batched_wls(X, y, w, iparams.ridge)
-        resid = jnp.where(nbr.mask, y - jnp.einsum("skp,sp->sk", X, beta), 0.0)
+        resid = jnp.where(nbr.mask, y - jnp.einsum("skp,sp->sk", X, beta,
+                                                    precision=HI), 0.0)
 
         dist_pair = pairwise_km_from_xyz(take(stn_xyz), take(stn_xyz))
         emp = empirical_variogram(

@@ -269,8 +269,9 @@ def _wls_normal_eq(X, w, ridge, p):
 def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
                     vario_ref, acov_ref, out_ref, Cs, y0, y1, *, k: int,
                     q: int, qa: int, lanes: int, ridge: float,
-                    jitter_frac: float, min_neighbors: int):
-    """The WHOLE krig_normals per-cell chain in one kernel: bisquare
+                    jitter_frac: float, min_neighbors: int,
+                    weight_kernel: str):
+    """The WHOLE krig_normals per-cell chain in one kernel: distance
     weights -> point-centered scaled GWR design -> (q+1)x(q+1) WLS trend ->
     residuals -> distance-weighted variogram-parameter interpolation ->
     in-kernel pair distances -> Cholesky kriging solve -> OK reduction ->
@@ -278,10 +279,19 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
     formula-for-formula (parity-tested)."""
     m = m_ref[:, :]                              # (k, lanes)
     d = dist_ref[:, :]
-    # --- bisquare weights (geo.neighbors.distance_weights) ---
+    # --- distance weights (geo.neighbors.distance_weights); the kernel
+    # choice is a STATIC arg, so each variant traces branch-free code ---
     bw = jnp.maximum(jnp.max(jnp.where(m > 0.0, d, 0.0), axis=0), 1e-3)
-    r = jnp.minimum(d / bw[None, :], 1.0)
-    w = jnp.maximum((1.0 - r * r) ** 2, 1e-4) * m
+    if weight_kernel == "bisquare":
+        r = jnp.minimum(d / bw[None, :], 1.0)
+        w = jnp.maximum((1.0 - r * r) ** 2, 1e-4) * m
+    elif weight_kernel == "gaussian":
+        rb = d / bw[None, :]
+        w = jnp.exp(-0.5 * rb * rb) * m
+    elif weight_kernel == "uniform":
+        w = m
+    else:
+        raise ValueError(f"unknown weight kernel {weight_kernel!r}")
     wsum = jnp.sum(w, axis=0) + 1e-30
 
     # --- centered scaled design (kernels.wls.center_design) ---
@@ -359,7 +369,8 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ridge", "jitter_frac", "min_neighbors", "interpret"),
+    static_argnames=("ridge", "jitter_frac", "min_neighbors", "interpret",
+                     "weight_kernel"),
 )
 def krig_normals_fused(
     xyz3k: jnp.ndarray,    # (3k, B) unit-sphere coords, c-major
@@ -375,6 +386,7 @@ def krig_normals_fused(
     jitter_frac: float = 1e-5,
     min_neighbors: int = 3,
     interpret: bool = False,
+    weight_kernel: str = "bisquare",
 ):
     """Whole-krig_normals + anomaly-gain fusion. Returns (8+k, B):
     rows [normal, variance, ok, trend, nugget, psill, range, 0] then the k
@@ -388,6 +400,7 @@ def krig_normals_fused(
     kern = functools.partial(
         _normals_kernel, k=k, q=q, qa=qa, lanes=lanes, ridge=ridge,
         jitter_frac=jitter_frac, min_neighbors=min_neighbors,
+        weight_kernel=weight_kernel,
     )
     col = lambda rows: pl.BlockSpec(  # noqa: E731
         (rows, lanes), lambda i: (0, i), memory_space=pltpu.VMEM

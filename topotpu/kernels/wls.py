@@ -16,14 +16,22 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+
+# Solve-chain matmuls must run at full f32 fidelity: the TPU MXU default
+# (bf16 inputs) costs DEGREES of error in the WLS/kriging chain (measured
+# 2.5-8.9 C vs the CPU oracle on the jnp fallback path) while these ops are
+# FLOP-trivial next to the Pallas kernels. No-op on CPU.
+HI = jax.lax.Precision.HIGHEST
+
 from jax import lax
 
 
 def _normal_eq(X: jnp.ndarray, w: jnp.ndarray, ridge: float) -> jnp.ndarray:
     """A = X^T diag(w) X + ridge * tr-scaled I, shape (B, p, p)."""
     Xw = X * w[..., :, None]
-    A = jnp.einsum("bkp,bkq->bpq", Xw, X)
+    A = jnp.einsum("bkp,bkq->bpq", Xw, X, precision=HI)
     p = X.shape[-1]
     # Scale the ridge by the mean diagonal so conditioning is unit-free.
     diag_mean = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / p
@@ -42,7 +50,7 @@ def batched_wls(
     Returns beta (B, p). Masked rows must carry w == 0 and contribute nothing.
     """
     A = _normal_eq(X, w, ridge)
-    b = jnp.einsum("bkp,bk->bp", X * w[..., :, None], y)
+    b = jnp.einsum("bkp,bk->bp", X * w[..., :, None], y, precision=HI)
     L = jnp.linalg.cholesky(A)
     z = lax.linalg.triangular_solve(L, b[..., None], left_side=True, lower=True)
     beta = lax.linalg.triangular_solve(
@@ -72,7 +80,7 @@ def batched_gwr_gain(
         L, z, left_side=True, lower=True, transpose_a=True
     )[..., 0]
     # g_k = w_k * (x_k . v)
-    return w * jnp.einsum("bkp,bp->bk", X, v)
+    return w * jnp.einsum("bkp,bp->bk", X, v, precision=HI)
 
 
 def center_design(

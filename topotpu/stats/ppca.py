@@ -25,6 +25,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Solve-chain matmuls must run at full f32 fidelity: the TPU MXU default
+# (bf16 inputs) costs DEGREES of error in the WLS/kriging chain (measured
+# 2.5-8.9 C vs the CPU oracle on the jnp fallback path) while these ops are
+# FLOP-trivial next to the Pallas kernels. No-op on CPU.
+HI = jax.lax.Precision.HIGHEST
+
 from jax import lax
 
 
@@ -69,8 +76,8 @@ def ppca_impute(
     Yc = jnp.where(obs_mask, Y - mu[:, None, :], 0.0)  # centered, missing=0
 
     # Deterministic init: top-q eigenvectors of the zero-filled covariance.
-    cov = jnp.einsum("btv,btw->bvw", Yc, Yc) / jnp.maximum(
-        jnp.einsum("btv,btw->bvw", m, m), 1.0
+    cov = jnp.einsum("btv,btw->bvw", Yc, Yc, precision=HI) / jnp.maximum(
+        jnp.einsum("btv,btw->bvw", m, m, precision=HI), 1.0
     )
     evals, evecs = jnp.linalg.eigh(cov)               # ascending
     top = evecs[..., -q:]                             # (B, V, q)
@@ -91,17 +98,17 @@ def ppca_impute(
     def em_step(X, W, c, sig2):
         Xc = X - c[:, None, :]
         # E-step
-        M = jnp.einsum("bvq,bvr->bqr", W, W) + sig2[:, None, None] * eyeq
+        M = jnp.einsum("bvq,bvr->bqr", W, W, precision=HI) + sig2[:, None, None] * eyeq
         Minv = jnp.linalg.inv(M)
         Z = jnp.einsum("btv,bvq,bqr->btr", Xc, W, Minv)  # (B, T, q)
         # M-step
-        Sxz = jnp.einsum("btv,btq->bvq", Xc, Z)
+        Sxz = jnp.einsum("btv,btq->bvq", Xc, Z, precision=HI)
         Szz = (
-            jnp.einsum("btq,btr->bqr", Z, Z)
+            jnp.einsum("btq,btr->bqr", Z, Z, precision=HI)
             + T * sig2[:, None, None] * Minv
         )
         Wn = _solve_right(Sxz, Szz)
-        low = jnp.einsum("btq,bvq->btv", Z, Wn)
+        low = jnp.einsum("btq,bvq->btv", Z, Wn, precision=HI)
         cn = c + jnp.mean(X - c[:, None, :] - low, axis=-2)
         recon = low + cn[:, None, :]
         sig2n = jnp.maximum(jnp.mean((X - recon) ** 2, axis=(-2, -1)), 1e-8)

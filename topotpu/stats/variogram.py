@@ -20,7 +20,15 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+# Solve-chain matmuls must run at full f32 fidelity: the TPU MXU default
+# (bf16 inputs) costs DEGREES of error in the WLS/kriging chain (measured
+# 2.5-8.9 C vs the CPU oracle on the jnp fallback path) while these ops are
+# FLOP-trivial next to the Pallas kernels. No-op on CPU.
+HI = jax.lax.Precision.HIGHEST
+
 from jax import lax
 
 
@@ -166,8 +174,8 @@ def fit_exp_variogram(
             axis=-1,
         )  # (B, n_bins, 3)
         Jw = J * w[..., None]
-        A = jnp.einsum("...ji,...jk->...ik", Jw, J)
-        g = jnp.einsum("...ji,...j->...i", Jw, r)
+        A = jnp.einsum("...ji,...jk->...ik", Jw, J, precision=HI)
+        g = jnp.einsum("...ji,...j->...i", Jw, r, precision=HI)
         diag_scale = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / 3.0
         eye = jnp.eye(3, dtype=A.dtype)
         A_d = A + (lam_damp[..., None, None] * diag_scale + 1e-30) * eye
