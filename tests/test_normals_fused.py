@@ -140,3 +140,47 @@ def test_fused_gains_all_weight_kernels(rng, kernel):
         np.asarray(got_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(got_g).sum(-1), 1.0, atol=2e-3)
+
+
+def test_fused_normals_k64_looped(rng):
+    """Whole-chain fused kernel at k=64 (fori_loop Cholesky) vs jnp."""
+    args = _gathered_inputs(rng, C=128, k=64)
+    ref = krig_normals(**args, use_pallas="off")
+    got = krig_normals(**args, use_pallas="on")
+    np.testing.assert_allclose(
+        np.asarray(got.normal), np.asarray(ref.normal), rtol=1e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.variance), np.asarray(ref.variance), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+
+
+def test_fused_normals_k48_padded_to_56(rng):
+    """k in (33, 55) is padded to 56 inside the fused wrapper (Mosaic
+    compiles those sizes pathologically); padded rows are masked and must
+    be exactly inert — parity vs the unpadded jnp path at the ORIGINAL k."""
+    args = _gathered_inputs(rng, C=128, k=48)
+    ref = krig_normals(**args, use_pallas="off")
+    got = krig_normals(**args, use_pallas="on")
+    np.testing.assert_allclose(
+        np.asarray(got.normal), np.asarray(ref.normal), rtol=1e-4, atol=2e-3
+    )
+    np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(ref.ok))
+
+    from topotpu.interp.normals import krig_normals_and_gains
+
+    anom_cov = args["nbr_cov"][..., :2]
+    cell_anom_cov = args["cell_cov"][..., :2]
+    ref_res, ref_g = krig_normals_and_gains(
+        **args, anom_cov=anom_cov, cell_anom_cov=cell_anom_cov,
+        use_pallas="off",
+    )
+    got_res, got_g = krig_normals_and_gains(
+        **args, anom_cov=anom_cov, cell_anom_cov=cell_anom_cov,
+        use_pallas="on",
+    )
+    assert got_g.shape == ref_g.shape  # padded gain rows dropped
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
+    )

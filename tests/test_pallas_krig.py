@@ -67,3 +67,32 @@ def test_fused_flags_underpopulated(rng):
         min_neighbors=3, interpret=True,
     )
     assert not np.asarray(ok).any()
+
+
+def test_fused_k64_looped_matches_jnp_path(rng):
+    """k=64 goes through the fori_loop (LT-transposed) factorization — the
+    round-2 fix for KNOWN_GAPS r1 #7 (unrolled compiles melted past k=48).
+    Same parity bar as the unrolled path."""
+    dp, d0, mask, nug, ps, rg = _setup(rng, B=128, k=64, masked=5)
+    C, c0, sill = assemble_exp_cov(
+        jnp.asarray(dp), jnp.asarray(d0), jnp.asarray(nug),
+        jnp.asarray(ps), jnp.asarray(rg), jnp.asarray(mask),
+        jitter_frac=1e-5,
+    )
+    ref = ok_solve(C, c0, jnp.asarray(mask), sill, min_neighbors=3)
+
+    w, var, ok = ok_solve_fused(
+        jnp.asarray(dp.transpose(1, 2, 0)),
+        jnp.asarray(d0.T),
+        jnp.asarray(mask.T.astype(np.float32)),
+        jnp.asarray(nug), jnp.asarray(ps), jnp.asarray(rg),
+        jitter_frac=1e-5, min_neighbors=3, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w).T, np.asarray(ref.weights), rtol=2e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(var), np.asarray(ref.variance), rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ref.ok))
+    assert np.all(np.asarray(w).T[~mask] == 0.0)

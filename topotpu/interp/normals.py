@@ -109,12 +109,24 @@ def _krig_normals_fused(
     gain rows) in one kernel, no intermediate HBM tensors.
 
     Returns (NormalsResult, gains (C, k) or None)."""
-    from topotpu.kernels.pallas_krig import krig_normals_fused
+    from topotpu.kernels.pallas_krig import krig_normals_fused, padded_kernel_k
 
     C_cells, k = dist.shape
+    k_eff = padded_kernel_k(k)
+    if k_eff != k:
+        # pad the neighbor axis with masked (inert) slots: Mosaic compiles
+        # k in (33, 55) pathologically slowly (see padded_kernel_k)
+        padk = lambda a: jnp.pad(  # noqa: E731
+            a, ((0, 0), (0, k_eff - k)) + ((0, 0),) * (a.ndim - 2)
+        )
+        dist, nbr_norm = padk(dist), padk(nbr_norm)
+        mask = padk(mask.astype(jnp.float32)) > 0.5
+        nbr_xyz, nbr_cov, nbr_vario = map(padk, (nbr_xyz, nbr_cov, nbr_vario))
+        if anom_cov is not None:
+            anom_cov = padk(anom_cov)
     q = nbr_cov.shape[-1]
     t3 = lambda a: jnp.transpose(a, (2, 1, 0)).reshape(  # noqa: E731
-        a.shape[2] * k, C_cells
+        a.shape[2] * k_eff, C_cells
     )  # (C, k, q) -> (qk, C), covariate-major rows
 
     want_gains = anom_cov is not None
@@ -164,7 +176,7 @@ def _krig_normals_fused(
         ok=out[2] > 0.5,
         vario=jnp.stack([out[4], out[5], out[6]], axis=-1),
     )
-    gains = out[8:].T if want_gains else None
+    gains = out[8 : 8 + k].T if want_gains else None  # drop padded rows
     return res, gains
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -135,6 +137,23 @@ def interp_tile(
     S = inputs.stn_lon.shape[0]
     dtype = inputs.cell_lon.dtype
 
+    # Shape-size hygiene: XLA's top_k (and the fused kernel's Mosaic
+    # compile) are pathologically slow at some exact sizes — measured 28 s
+    # vs 1.6 s for top_k at k=48 vs 44, and minutes-scale whole-tile
+    # compiles at 48 (kernels/pallas_krig.py::padded_kernel_k). Select at
+    # the padded size and mask the trailing slots: top_k output is
+    # distance-sorted, so the first k_req slots ARE the k_req-neighborhood
+    # and the padded slots are provably inert (mask algebra, tested).
+    from topotpu.kernels.pallas_krig import padded_kernel_k
+
+    k_req = params.k_neighbors
+    k_eff = padded_kernel_k(k_req)
+    if k_eff != k_req and k_eff <= S:
+        params = dataclasses.replace(params, k_neighbors=k_eff)
+        trail_ok = jnp.arange(k_eff) < k_req  # (k_eff,)
+    else:
+        trail_ok = None
+
     stn_xyz = unit_xyz(inputs.stn_lon, inputs.stn_lat)  # (S, 3)
     ref_lat = 38.0  # CONUS mid-latitude; only scales the locational covariates
     stn_x, stn_y = _local_xy_km(inputs.stn_lon, inputs.stn_lat, ref_lat)
@@ -164,6 +183,8 @@ def interp_tile(
                 k=params.k_neighbors,
                 dist_matrix=d_all,
             )
+            if trail_ok is not None:  # padded slots beyond the requested k
+                nbr = nbr._replace(mask=nbr.mask & trail_ok[None, :])
         take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
 
         # Trend covariates: elev, tdi, lst_m only (SURVEY §2.12's design:
@@ -190,11 +211,11 @@ def interp_tile(
         # (mpi_optim_nstns_norms vs _anoms, SURVEY §2.16); top_k output is
         # distance-sorted, so the anomaly neighborhood is a free prefix
         # slice of the normals one.
-        ka = min(params.k_neighbors_anom, params.k_neighbors)
+        ka = min(params.k_neighbors_anom, k_req)
         cell_cov_anom = jnp.stack(
             [inputs.cell_elev, cell_x, cell_y], axis=-1
         )
-        if ka == params.k_neighbors:
+        if ka == k_req:
             # same neighborhoods: normals + gains come from ONE fused kernel
             nbr_cov_anom = jnp.stack(
                 [take(inputs.stn_elev), take(stn_x), take(stn_y)], axis=-1

@@ -44,17 +44,17 @@ ASIN_VALID_KM = 2.0 * EARTH_RADIUS_KM * 0.2  # ~2548 km
 
 
 def _krig_kernel(dp_ref, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
-                 Cs, y0, y1, *, k: int, lanes: int, jitter_frac: float,
-                 min_neighbors: int):
+                 Cs, y0, y1, LT=None, *, k: int, lanes: int,
+                 jitter_frac: float, min_neighbors: int):
     """Entry point taking precomputed pair distances (k, k, lanes)."""
     _solve_body(dp_ref[:, :, :], d0_ref, m_ref, nug_ref, ps_ref, rg_ref,
-                out_ref, Cs, y0, y1, k=k, lanes=lanes,
+                out_ref, Cs, y0, y1, LT, k=k, lanes=lanes,
                 jitter_frac=jitter_frac, min_neighbors=min_neighbors)
 
 
 def _krig_kernel_xyz(xyz_ref, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
-                     Cs, y0, y1, *, k: int, lanes: int, jitter_frac: float,
-                     min_neighbors: int):
+                     Cs, y0, y1, LT=None, *, k: int, lanes: int,
+                     jitter_frac: float, min_neighbors: int):
     """Entry point computing pair distances in-kernel from unit-sphere xyz.
 
     xyz_ref is (3k, lanes): rows [0:k) = x, [k:2k) = y, [2k:3k) = z. Moving
@@ -78,7 +78,7 @@ def _krig_kernel_xyz(xyz_ref, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
     )
     dp = 2.0 * EARTH_RADIUS_KM * asin_h
     _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref,
-                out_ref, Cs, y0, y1, k=k, lanes=lanes,
+                out_ref, Cs, y0, y1, LT, k=k, lanes=lanes,
                 jitter_frac=jitter_frac, min_neighbors=min_neighbors)
 
 
@@ -96,54 +96,91 @@ def _assemble_C(dp, m, nug, ps, rg, jitter_frac, k):
     return C + eyef * diag_add[:, None, :]
 
 
-def _chol_and_two_solves_uniform(Cs, y0, y1, k):
-    """Uniform-shape variant: every step uses full (k, ...) ops with static
-    row masks instead of shrinking slices. ~3x the FLOPs of the triangular
-    version but every unrolled step body has IDENTICAL op shapes, which
-    keeps Mosaic compile time flat in k (the shrinking-slice version's
-    compile time explodes by k=64) and runs full-width vregs."""
+def _chol_and_two_solves_looped(Cs, LT, y0, y1, k):
+    """fori_loop Cholesky + solves for large k: O(1) traced ops regardless
+    of k, so the Mosaic program (and compile time) stays FLAT in k — the
+    unrolled variants compile pathologically past ~48 (KNOWN_GAPS r1 #7).
+
+    Trick that makes the loop legal: Mosaic supports dynamic slicing only
+    on the LEADING dim here, so the factor is stored TRANSPOSED in the LT
+    scratch (LT[j] = column j of L = row j of U=L^T). Then:
+      * factorization reads row j of the still-symmetric trailing matrix
+        (== column j) and writes one LT row;
+      * forward substitution is column-oriented (uses L[:, j] = LT[j]);
+      * back substitution is row-oriented (uses U[j, :] = LT[j]);
+    every step is full-(k, lanes)-shaped with iota masks against the
+    dynamic j — ~3x the FLOPs of the triangular unroll (same as the
+    retired uniform-shape variant), bought back by not melting compiles."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    for j in range(k):
-        dj = jnp.sqrt(jnp.maximum(Cs[j, j, :], 1e-20))
-        inv = 1.0 / dj
-        cj = Cs[:, j, :]                                  # (k, lanes)
-        low = (rows > j).astype(jnp.float32)              # static per j
+
+    def fact(j, carry):
         here = (rows == j).astype(jnp.float32)
-        col_low = cj * inv[None, :] * low
-        Cs[:, j, :] = col_low + here * dj[None, :] + cj * (1.0 - low - here)
-        Cs[:, :, :] = Cs[:, :, :] - col_low[:, None, :] * col_low[None, :, :]
-    for j in range(k):
-        inv = 1.0 / Cs[j, j, :]
-        a_j = y0[j, :] * inv
-        u_j = y1[j, :] * inv
         low = (rows > j).astype(jnp.float32)
-        Lcol = Cs[:, j, :] * low
-        y0[j, :] = a_j
-        y1[j, :] = u_j
-        y0[:, :] = y0[:, :] - Lcol * a_j[None, :]
-        y1[:, :] = y1[:, :] - Lcol * u_j[None, :]
-    for j in reversed(range(k)):
-        inv = 1.0 / Cs[j, j, :]
-        a_j = y0[j, :] * inv
-        u_j = y1[j, :] * inv
-        upper = (rows < j).astype(jnp.float32)
-        Lrow = Cs[j, :, :] * upper
-        y0[j, :] = a_j
-        y1[j, :] = u_j
-        y0[:, :] = y0[:, :] - Lrow * a_j[None, :]
-        y1[:, :] = y1[:, :] - Lrow * u_j[None, :]
+        row_j = Cs[pl.ds(j, 1), :, :][0]              # (k, lanes)
+        djj = jnp.sum(row_j * here, axis=0)
+        dj = jnp.sqrt(jnp.maximum(djj, 1e-20))
+        inv = 1.0 / dj
+        col = row_j * inv[None, :] * low              # strict below-diag
+        LT[pl.ds(j, 1), :, :] = (col + here * dj[None, :])[None]
+        Cs[:, :, :] = Cs[:, :, :] - col[:, None, :] * col[None, :, :]
+        return carry
+
+    jax.lax.fori_loop(0, k, fact, 0, unroll=False)
+
+    def fwd(j, carry):
+        here = (rows == j).astype(jnp.float32)
+        low = (rows > j).astype(jnp.float32)
+        lcol = LT[pl.ds(j, 1), :, :][0]               # (k, lanes) = L[:, j]
+        inv = 1.0 / jnp.sum(lcol * here, axis=0)
+        a_j = jnp.sum(y0[:, :] * here, axis=0) * inv
+        u_j = jnp.sum(y1[:, :] * here, axis=0) * inv
+        sub = lcol * low
+        y0[:, :] = jnp.where(here > 0.0, a_j[None, :], y0[:, :]) - sub * a_j[None, :]
+        y1[:, :] = jnp.where(here > 0.0, u_j[None, :], y1[:, :]) - sub * u_j[None, :]
+        return carry
+
+    jax.lax.fori_loop(0, k, fwd, 0, unroll=False)
+
+    def bwd(i, carry):
+        j = k - 1 - i
+        here = (rows == j).astype(jnp.float32)
+        above = (rows > j).astype(jnp.float32)        # already-final entries
+        urow = LT[pl.ds(j, 1), :, :][0]               # (k, lanes) = U[j, :]
+        inv = 1.0 / jnp.sum(urow * here, axis=0)
+        s0 = jnp.sum(urow * above * y0[:, :], axis=0)
+        s1 = jnp.sum(urow * above * y1[:, :], axis=0)
+        a_j = (jnp.sum(y0[:, :] * here, axis=0) - s0) * inv
+        u_j = (jnp.sum(y1[:, :] * here, axis=0) - s1) * inv
+        y0[:, :] = jnp.where(here > 0.0, a_j[None, :], y0[:, :])
+        y1[:, :] = jnp.where(here > 0.0, u_j[None, :], y1[:, :])
+        return carry
+
+    jax.lax.fori_loop(0, k, bwd, 0, unroll=False)
 
 
-def _chol_and_two_solves(Cs, y0, y1, k):
+LOOPED_K_THRESHOLD = 32  # above this the unrolled factorization is retired
+
+
+def padded_kernel_k(k: int) -> int:
+    """Effective neighborhood size the fused kernel should run at.
+
+    Measured Mosaic compile times through this container's tunnel (whole
+    kernel, 2048 cells): k=32 unrolled seconds; k=48 is PATHOLOGICAL via
+    every path (234 s unrolled, 206-330 s looped, at 128 or 256 lanes);
+    k=56 and k=64 looped compile in ~12 s. So sizes in the bad band are
+    padded up to 56 — masked neighbor rows are provably inert (the tests
+    assert zero weight and untouched variance), so the only cost is FLOPs
+    on the padded rows, far cheaper than a 4-minute compile."""
+    return 56 if LOOPED_K_THRESHOLD < k < 56 else k
+
+
+def _chol_and_two_solves(Cs, y0, y1, k, LT=None):
     """In-place Cholesky + forward/back substitution for two rhs, unrolled
-    over k (static) — every step is one VPU op over all lanes."""
-    if k > 48:
-        # The shrinking-slice unroll compiles pathologically past ~48; the
-        # uniform variant is parity-tested, but NOTE: even with it, k=64
-        # whole-tile compiles exceeded 10 min through this container's
-        # remote-compile tunnel (KNOWN_GAPS.md #7). k <= 48 is the
-        # supported fast range (the nnghs optimizer picks 32-48).
-        return _chol_and_two_solves_uniform(Cs, y0, y1, k)
+    over k (static) — every step is one VPU op over all lanes. Past
+    LOOPED_K_THRESHOLD the fori_loop variant takes over (needs LT scratch)."""
+    if k > LOOPED_K_THRESHOLD:
+        assert LT is not None, "k > 48 needs the LT scratch buffer"
+        return _chol_and_two_solves_looped(Cs, LT, y0, y1, k)
     for j in range(k):
         dj = jnp.sqrt(jnp.maximum(Cs[j, j, :], 1e-20))
         inv = 1.0 / dj
@@ -191,8 +228,8 @@ def _ok_reduce(y0, y1, c0, m, sill, min_neighbors):
 
 
 def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
-                Cs, y0, y1, *, k: int, lanes: int, jitter_frac: float,
-                min_neighbors: int):
+                Cs, y0, y1, LT=None, *, k: int, lanes: int,
+                jitter_frac: float, min_neighbors: int):
     nug = nug_ref[0, :]                      # (lanes,)
     ps = ps_ref[0, :]
     rg = jnp.maximum(rg_ref[0, :], 1e-3)
@@ -203,7 +240,7 @@ def _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
     c0 = ps[None, :] * jnp.exp(-d0_ref[:, :] / rg[None, :]) * m  # (k, lanes)
     y0[:, :] = c0
     y1[:, :] = m
-    _chol_and_two_solves(Cs, y0, y1, k)
+    _chol_and_two_solves(Cs, y0, y1, k, LT)
     lam, var, ok = _ok_reduce(y0, y1, c0, m, sill, min_neighbors)
 
     out_ref[0:k, :] = lam
@@ -267,8 +304,8 @@ def _wls_normal_eq(X, w, ridge, p):
 
 
 def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
-                    vario_ref, acov_ref, out_ref, Cs, y0, y1, *, k: int,
-                    q: int, qa: int, lanes: int, ridge: float,
+                    vario_ref, acov_ref, out_ref, Cs, y0, y1, LT=None, *,
+                    k: int, q: int, qa: int, lanes: int, ridge: float,
                     jitter_frac: float, min_neighbors: int,
                     weight_kernel: str):
     """The WHOLE krig_normals per-cell chain in one kernel: distance
@@ -340,7 +377,7 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
     c0 = ps[None, :] * jnp.exp(-d / rg[None, :]) * m
     y0[:, :] = c0
     y1[:, :] = m
-    _chol_and_two_solves(Cs, y0, y1, k)
+    _chol_and_two_solves(Cs, y0, y1, k, LT)
     lam, var_k, ok = _ok_reduce(y0, y1, c0, m, sill, min_neighbors)
 
     normal = trend + jnp.sum(lam * resid, axis=0)
@@ -394,8 +431,7 @@ def krig_normals_fused(
     k, B = dist_t.shape
     q = covs_t.shape[0] // k
     qa = acovs_t.shape[0] // k
-    lanes = next((l for l in (LANES, 256, 128) if B % l == 0), None)
-    assert lanes, f"batch {B} not a multiple of 128"
+    lanes = _pick_lanes(B, k)
     grid = (B // lanes,)
     kern = functools.partial(
         _normals_kernel, k=k, q=q, qa=qa, lanes=lanes, ridge=ridge,
@@ -412,11 +448,7 @@ def krig_normals_fused(
                   col(3 * k), col(qa * k)],
         out_specs=col(8 + k),
         out_shape=jax.ShapeDtypeStruct((8 + k, B), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((k, k, lanes), jnp.float32),
-            pltpu.VMEM((k, lanes), jnp.float32),
-            pltpu.VMEM((k, lanes), jnp.float32),
-        ],
+        scratch_shapes=_scratch(k, lanes),
         cost_estimate=pl.CostEstimate(
             flops=int(B * (k**3 / 3 + 14 * k**2 + 60 * k)),
             bytes_accessed=int(B * (13 * k + 16) * 4),
@@ -435,11 +467,39 @@ def krig_normals_fused(
     )
 
 
+def _pick_lanes(B, k):
+    """Widest lane count that divides B and fits the ~16 MB VMEM budget.
+
+    Empirical footprint: ~20 bytes per k^2*lane element for the unrolled
+    path (Cs scratch + ~4 live (k,k,lanes) kernel temporaries — matches the
+    measured 20.8 MB at k=32/1024 lanes and 10.5 MB at the proven
+    k=32/512 production config), ~24 with the looped path's extra LT
+    scratch (matches the 22.1 MB OOM observed at k=64/256 lanes)."""
+    bpe = 24 if k > LOOPED_K_THRESHOLD else 20
+    lanes = next(
+        (l for l in (LANES, 256, 128)
+         if B % l == 0 and k * k * l * bpe <= 15 * 2**20),
+        None,
+    )
+    assert lanes, f"batch {B} not a multiple of 128 (or k={k} too large)"
+    return lanes
+
+
+def _scratch(k, lanes):
+    shapes = [
+        pltpu.VMEM((k, k, lanes), jnp.float32),
+        pltpu.VMEM((k, lanes), jnp.float32),
+        pltpu.VMEM((k, lanes), jnp.float32),
+    ]
+    if k > LOOPED_K_THRESHOLD:  # LT factor storage for the fori_loop path
+        shapes.append(pltpu.VMEM((k, k, lanes), jnp.float32))
+    return shapes
+
+
 def _launch(entry, first_arg, first_block_rows3, k, B,
             dist_point_t, mask_t, nugget, psill, rng,
             jitter_frac, min_neighbors, interpret):
-    lanes = next((l for l in (LANES, 256, 128) if B % l == 0), None)
-    assert lanes, f"batch {B} not a multiple of 128"
+    lanes = _pick_lanes(B, k)
     grid = (B // lanes,)
     vec = lambda a: a.reshape(1, B)  # noqa: E731
     kern = functools.partial(
@@ -467,11 +527,7 @@ def _launch(entry, first_arg, first_block_rows3, k, B,
             (k + _OUT_EXTRA, lanes), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k + _OUT_EXTRA, B), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((k, k, lanes), jnp.float32),
-            pltpu.VMEM((k, lanes), jnp.float32),
-            pltpu.VMEM((k, lanes), jnp.float32),
-        ],
+        scratch_shapes=_scratch(k, lanes),
         cost_estimate=pl.CostEstimate(
             flops=int(B * (k**3 / 3 + 6 * k**2 + 4 * k)),
             bytes_accessed=int(B * (4 * k + 3) * 4),
