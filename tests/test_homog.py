@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from topotpu.core.dates import get_days_metadata
-from topotpu.homog.pha import detect_breaks, homogenize_network, monthly_means
+from topotpu.homog.pha import (
+    break_model,
+    detect_breaks,
+    homogenize_network,
+    monthly_means,
+)
 from topotpu.io.synthetic import make_world
 
 
@@ -45,6 +50,67 @@ def test_detect_two_breaks(rng):
     assert len(found) >= 2
     assert min(abs(found - 120)) <= 5
     assert min(abs(found - 260)) <= 5
+
+
+def test_break_model_pure_step(rng):
+    T = 240
+    x = rng.normal(0, 0.3, size=T).astype(np.float32)
+    x[150:] += 1.2
+    model, step, tstat = break_model(x, 150, 0, T)
+    assert model in (2, 3, 4)
+    assert abs(step - 1.2) < 0.15
+    assert abs(tstat) > 10  # huge amplitude relative to noise
+
+
+def test_break_model_pure_trend_not_a_step(rng):
+    # A linear drift: SNHT fires near the middle, but minbic must classify
+    # it as the trend model (1) with zero step — the misattribution mode
+    # that pure-step SNHT suffers (Menne-Williams model discrimination).
+    T = 240
+    x = (np.linspace(0, 2.0, T) + rng.normal(0, 0.25, T)).astype(np.float32)
+    b, _ = detect_breaks(x[None, :], minseg=24)
+    assert (b[0] >= 0).any(), "SNHT should fire on the drift (the trap)"
+    brk = int(b[0][0])
+    model, step, _ = break_model(x, brk, 0, T)
+    assert model == 1
+    assert step == 0.0
+
+
+def test_break_model_sloped_step_unbiased(rng):
+    # Step on top of a trend: the window-mean estimator smears the trend
+    # into the step; the model-fitted offset must not.
+    T = 240
+    trend = np.linspace(0, 1.5, T)
+    x = (trend + rng.normal(0, 0.25, T)).astype(np.float32)
+    x[120:] += 1.0
+    model, step, tstat = break_model(x, 120, 0, T)
+    assert model in (3, 4)
+    assert abs(step - 1.0) < 0.2, f"trend-biased step estimate {step}"
+    assert abs(tstat) > 5
+
+
+def test_break_model_amplitude_dependent_significance(rng):
+    # Same break date and noise, two amplitudes: the tiny step's t-stat
+    # must fall below the driver threshold while the large one clears it.
+    T = 120
+    noise = rng.normal(0, 0.5, T).astype(np.float32)
+    small = noise.copy()
+    small[60:] += 0.15
+    big = noise.copy()
+    big[60:] += 1.5
+    _, _, t_small = break_model(small, 60, 0, T)
+    _, _, t_big = break_model(big, 60, 0, T)
+    assert abs(t_small) < 3.0 < abs(t_big)
+
+
+def test_break_model_nan_tolerant(rng):
+    T = 240
+    x = rng.normal(0, 0.3, size=T).astype(np.float32)
+    x[100:] += 1.0
+    x[::6] = np.nan
+    model, step, _ = break_model(x, 100, 0, T)
+    assert model in (2, 3, 4)
+    assert abs(step - 1.0) < 0.2
 
 
 @pytest.fixture(scope="module")
@@ -92,6 +158,42 @@ def test_homogenize_removes_planted_step(daily_network):
     truth[:split] -= 1.5
     mae = np.abs(res.adjusted_daily[3] - truth).mean()
     assert mae < 0.4
+
+
+def test_homogenize_ignores_trend_contamination(daily_network):
+    # A gradually drifting station (urbanization-style trend) must NOT be
+    # step-adjusted: SNHT fires on the drift and the quorum attributes it,
+    # but the minbic model stage classifies every pair window as trend-only
+    # and refuses the step. (VERDICT round-1 item 6.)
+    world, days, daily = daily_network
+    daily = daily.copy()
+    drift = np.linspace(0.0, 2.5, daily.shape[1]).astype(np.float32)
+    daily[5] += drift
+
+    res = homogenize_network(
+        daily, days.year, days.month, world.stn_lon, world.stn_lat,
+    )
+    assert len(res.breakpoints[5]) == 0, res.breakpoints[5]
+    assert np.abs(res.adjustments[5]).max() < 0.01
+
+
+def test_homogenize_step_on_trend(daily_network):
+    # Trend AND a genuine break: the break must be found and its size
+    # recovered without the trend leaking into the step estimate.
+    world, days, daily = daily_network
+    daily = daily.copy()
+    drift = np.linspace(0.0, 1.5, daily.shape[1]).astype(np.float32)
+    split = int(np.flatnonzero(days.ymd == 20100101)[0])
+    daily[7] += drift
+    daily[7, :split] += 1.8
+
+    res = homogenize_network(
+        daily, days.year, days.month, world.stn_lon, world.stn_lat,
+    )
+    assert len(res.breakpoints[7]) >= 1
+    b, est = res.breakpoints[7][0]
+    assert abs(b - 72) <= 6
+    assert abs(est - (-1.8)) < 0.4, f"step estimate {est}"
 
 
 def test_monthly_means_sparse_guard(daily_network):

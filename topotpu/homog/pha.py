@@ -17,10 +17,16 @@ Algorithm (classic pairwise approach, Menne & Williams 2009):
   4. a break is attributed to the target when a quorum of its pairs agree
      on the date (+-tol months) — the neighbor-voting step that
      distinguishes the culprit station from its witnesses;
-  5. per attributed break, the step size is the trimmed mean of the pair
-     step estimates; segments before each break are shifted so the whole
-     series matches its most recent (assumed-correct) segment;
-  6. monthly adjustments are broadcast to the daily series.
+  5. each attributed break is classified by minbic model selection
+     (const / trend / step / sloped step / two-segment trend, chosen by
+     BIC, as in Lund & Reeves 2002 / the PHA "minbic" stage): trend-only
+     inhomogeneities are NOT adjusted as steps, and a confirming pair
+     must also clear a t-statistic threshold on the fitted offset, making
+     significance amplitude-dependent;
+  6. per confirmed break, the step size is the trimmed mean of the
+     model-fitted pair offsets; segments before each break are shifted so
+     the whole series matches its most recent (assumed-correct) segment;
+  7. monthly adjustments are broadcast to the daily series.
 """
 
 from __future__ import annotations
@@ -51,10 +57,11 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
     ]
-    lib.pha_step_size.restype = ctypes.c_double
-    lib.pha_step_size.argtypes = [
+    lib.pha_break_model.restype = ctypes.c_int
+    lib.pha_break_model.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
     return lib
 
@@ -86,14 +93,32 @@ def detect_breaks(series: np.ndarray, minseg: int = 24, max_breaks: int = 5):
     return breaks, stats
 
 
-def step_size(x: np.ndarray, brk: int, lo: int, hi: int,
-              win_min: int = 12, win_max: int = 60) -> float:
+def break_model(x: np.ndarray, brk: int, lo: int, hi: int,
+                min_side: int = 12) -> tuple[int, float, float]:
+    """Lund-Reeves/minbic model selection at a candidate break (C++).
+
+    Fits const / trend / step / step+common-slope / two-segment-trend mean
+    functions to the finite months of ``x[lo:hi)`` with the break before
+    month ``brk`` and picks the minimum-BIC model — the discrimination step
+    that full Menne-Williams PHA applies after SNHT detection, so a trend
+    inhomogeneity is classified as model 1 instead of being misread as a
+    step, and a sloped-step's offset is estimated without trend bias.
+
+    Returns ``(model, step, tstat)``: model id (0 const, 1 trend, 2 step,
+    3 step+slope, 4 two slopes; -1 degenerate), the fitted offset at the
+    break (0 for 0/1), and its t-statistic (amplitude-dependent
+    significance: callers threshold on ``|tstat|``).
+    """
     x = np.ascontiguousarray(x, np.float32)
+    step = ctypes.c_double()
+    tstat = ctypes.c_double()
     lib = _lib_handle()
-    return lib.pha_step_size(
+    model = lib.pha_break_model(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        len(x), int(brk), int(lo), int(hi), win_min, win_max,
+        len(x), int(brk), int(lo), int(hi), int(min_side),
+        ctypes.byref(step), ctypes.byref(tstat),
     )
+    return int(model), float(step.value), float(tstat.value)
 
 
 # ------------------------------------------------------------------ driver
@@ -136,6 +161,7 @@ def homogenize_network(
     date_tol: int = 6,
     minseg: int = 24,
     max_breaks: int = 5,
+    t_crit: float = 3.0,
 ) -> HomogResult:
     """Homogenize an (S, T) daily network in place of the reference's PHA run."""
     S, T = daily.shape
@@ -188,15 +214,23 @@ def homogenize_network(
                     attributed.append(center)
             i += int(close.sum())
 
-        # step estimation per attributed break: trimmed mean of pair steps
+        # Break-model confirmation + step estimation per attributed break.
+        # For each pair series, minbic model selection classifies the
+        # neighborhood of the break: only pairs whose best model contains a
+        # step (2/3/4) AND whose step t-statistic clears t_crit count as
+        # confirmations — so a trend inhomogeneity (model 1 wins) is never
+        # adjusted as a step, and significance is amplitude-dependent (a
+        # small offset in noisy/short segments has small t and is dropped).
+        # The step estimate comes from the winning model, which de-biases
+        # sloped steps that the naive window-mean estimator would smear.
         stn_breaks: list[tuple[int, float]] = []
         bounds = [0] + attributed + [M]
         for bi, b in enumerate(attributed):
             lo, hi = bounds[bi], bounds[bi + 2]
             steps = []
             for p in range(n_pairs):
-                st = step_size(diffs[s, p], b, lo, hi)
-                if np.isfinite(st):
+                model, st, tstat = break_model(diffs[s, p], b, lo, hi)
+                if model >= 2 and np.isfinite(st) and abs(tstat) >= t_crit:
                     steps.append(st)
             if len(steps) >= quorum_min:
                 steps = np.sort(steps)

@@ -10,8 +10,11 @@
 //
 // Implemented: batched SNHT (standard normal homogeneity test) changepoint
 // detection with binary segmentation over NaN-tolerant monthly difference
-// series, and segment-mean step estimation. The attribution voting and
-// adjustment application live in Python (cheap, and easier to audit).
+// series, segment-mean step estimation, and Lund–Reeves/minbic-style break
+// model selection (const / trend / step / sloped step / two independent
+// trends, chosen by BIC) with a t-statistic on the step so significance is
+// amplitude-dependent. The attribution voting and adjustment application
+// live in Python (cheap, and easier to audit).
 //
 // Build: g++ -O3 -march=native -shared -fPIC pha_core.cpp -o libpha.so
 
@@ -87,9 +90,217 @@ void segment_recurse(const float* x, int lo, int hi, int minseg, int max_breaks,
     segment_recurse(x, split, hi, minseg, max_breaks, breaks, stats, n_found);
 }
 
+// Simple linear regression of v on t over a point list. Returns false if
+// degenerate (n < 3 or no time spread). Outputs intercept a, slope b, SSE,
+// plus n, tbar and Sxx (= sum (t-tbar)^2) for fitted-value variance.
+struct LinFit {
+    double a, b, sse, tbar, sxx;
+    int n;
+};
+
+bool lin_fit(const std::vector<double>& ts, const std::vector<double>& vs,
+             int lo, int hi, LinFit* out) {
+    int n = hi - lo;
+    if (n < 3) return false;
+    double st = 0.0, sv = 0.0;
+    for (int i = lo; i < hi; ++i) { st += ts[i]; sv += vs[i]; }
+    double tbar = st / n, vbar = sv / n;
+    double sxx = 0.0, sxy = 0.0;
+    for (int i = lo; i < hi; ++i) {
+        double dt = ts[i] - tbar;
+        sxx += dt * dt;
+        sxy += dt * (vs[i] - vbar);
+    }
+    if (sxx < 1e-12) return false;
+    double b = sxy / sxx;
+    double a = vbar - b * tbar;
+    double sse = 0.0;
+    for (int i = lo; i < hi; ++i) {
+        double r = vs[i] - (a + b * ts[i]);
+        sse += r * r;
+    }
+    *out = {a, b, sse, tbar, sxx, n};
+    return true;
+}
+
+constexpr double kBicInf = 1e30;
+
+double bic(double sse, int n, int p) {
+    // n*ln(SSE/n) + p*ln(n); variance term common to all models, dropped.
+    double ms = sse / n;
+    if (ms < 1e-12) ms = 1e-12;  // perfect fits: floor, still wins
+    return n * std::log(ms) + p * std::log((double)n);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Lund–Reeves / PHA-minbic break model selection at a candidate break.
+// Fits five mean-function models to the finite points of x[lo:hi) with the
+// break between months brk-1 and brk:
+//   0  constant mean, no break
+//   1  single linear trend, no break       (trend contamination, NOT a step)
+//   2  step: two constant means            (TPR0)
+//   3  step + common slope                 (TPR1; step unbiased by trend)
+//   4  two independent linear segments     (TPR2; step = offset at brk)
+// Picks the minimum-BIC model. *step_out is the fitted offset at the break
+// (0 for models 0/1); *tstat_out the t-statistic of that offset, making
+// retention amplitude-dependent: a small step in noisy/short segments gets
+// a small t and is rejected by the Python driver's threshold.
+// Returns the chosen model id, or -1 if either side has < min_side finite
+// months (models 2-4 excluded; then returns 0/1 best-of with step 0).
+int pha_break_model(const float* x, int T, int brk, int lo, int hi,
+                    int min_side, double* step_out, double* tstat_out) {
+    *step_out = 0.0;
+    *tstat_out = 0.0;
+    if (lo < 0 || hi > T || brk <= lo || brk >= hi) return -1;
+
+    std::vector<double> ts, vs;
+    ts.reserve(hi - lo);
+    int n1 = 0;  // finite points strictly before brk
+    for (int t = lo; t < hi; ++t) {
+        if (!std::isfinite(x[t])) continue;
+        if (t < brk) ++n1;
+        ts.push_back((double)t);
+        vs.push_back((double)x[t]);
+    }
+    int n = (int)ts.size();
+    int n2 = n - n1;
+    if (n < 8) return -1;
+
+    double best_bic = kBicInf;
+    int best_model = -1;
+    double best_step = 0.0, best_t = 0.0;
+
+    // --- model 0: constant mean
+    {
+        double sv = 0.0;
+        for (double v : vs) sv += v;
+        double m = sv / n, sse = 0.0;
+        for (double v : vs) sse += (v - m) * (v - m);
+        best_bic = bic(sse, n, 1);
+        best_model = 0;
+    }
+
+    // --- model 1: single trend
+    {
+        LinFit f;
+        if (lin_fit(ts, vs, 0, n, &f)) {
+            double b1 = bic(f.sse, n, 2);
+            if (b1 < best_bic) { best_bic = b1; best_model = 1; }
+        }
+    }
+
+    bool sides_ok = n1 >= min_side && n2 >= min_side;
+
+    // --- model 2: step, two constant means
+    if (sides_ok) {
+        double s1 = 0.0, s2 = 0.0;
+        for (int i = 0; i < n1; ++i) s1 += vs[i];
+        for (int i = n1; i < n; ++i) s2 += vs[i];
+        double m1 = s1 / n1, m2 = s2 / n2, sse = 0.0;
+        for (int i = 0; i < n1; ++i) sse += (vs[i] - m1) * (vs[i] - m1);
+        for (int i = n1; i < n; ++i) sse += (vs[i] - m2) * (vs[i] - m2);
+        double b2 = bic(sse, n, 2);
+        if (b2 < best_bic) {
+            best_bic = b2;
+            best_model = 2;
+            best_step = m2 - m1;
+            double s2e = sse / std::max(n - 2, 1);
+            double se = std::sqrt(s2e * (1.0 / n1 + 1.0 / n2));
+            best_t = se > 0 ? best_step / se : 0.0;
+        }
+    }
+
+    // --- model 3: step + common slope  v = a + b*t + c*1[t>=brk]
+    if (sides_ok && n >= 10) {
+        // Normal equations for design [1, t, d]; solve 3x3 by elimination.
+        double Sd = n2, St = 0.0, Std = 0.0, Stt = 0.0;
+        double Sv = 0.0, Stv = 0.0, Sdv = 0.0;
+        for (int i = 0; i < n; ++i) {
+            double t = ts[i], d = (i >= n1) ? 1.0 : 0.0, v = vs[i];
+            St += t; Stt += t * t; Std += t * d;
+            Sv += v; Stv += t * v; Sdv += d * v;
+        }
+        double A[3][4] = {
+            {(double)n, St,  Sd,  Sv},
+            {St,        Stt, Std, Stv},
+            {Sd,        Std, Sd,  Sdv},
+        };
+        // Gaussian elimination with partial pivoting; also invert for se(c)
+        // via adjugate of the 3x3 (cheap closed form).
+        double M[3][3] = {{A[0][0], A[0][1], A[0][2]},
+                          {A[1][0], A[1][1], A[1][2]},
+                          {A[2][0], A[2][1], A[2][2]}};
+        double det = M[0][0] * (M[1][1] * M[2][2] - M[1][2] * M[2][1])
+                   - M[0][1] * (M[1][0] * M[2][2] - M[1][2] * M[2][0])
+                   + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0]);
+        if (std::fabs(det) > 1e-9) {
+            bool ok = true;
+            for (int col = 0; col < 3; ++col) {
+                int piv = col;
+                for (int r = col + 1; r < 3; ++r)
+                    if (std::fabs(A[r][col]) > std::fabs(A[piv][col])) piv = r;
+                if (std::fabs(A[piv][col]) < 1e-12) { ok = false; break; }
+                for (int c2 = 0; c2 < 4; ++c2) std::swap(A[col][c2], A[piv][c2]);
+                for (int r = 0; r < 3; ++r) {
+                    if (r == col) continue;
+                    double f = A[r][col] / A[col][col];
+                    for (int c2 = col; c2 < 4; ++c2) A[r][c2] -= f * A[col][c2];
+                }
+            }
+            if (ok) {
+                double a = A[0][3] / A[0][0];
+                double b = A[1][3] / A[1][1];
+                double c = A[2][3] / A[2][2];
+                double sse = 0.0;
+                for (int i = 0; i < n; ++i) {
+                    double d = (i >= n1) ? 1.0 : 0.0;
+                    double r = vs[i] - (a + b * ts[i] + c * d);
+                    sse += r * r;
+                }
+                double b3 = bic(sse, n, 3);
+                if (b3 < best_bic) {
+                    best_bic = b3;
+                    best_model = 3;
+                    best_step = c;
+                    // [(X'X)^{-1}]_{cc} = cofactor_22 / det
+                    double cof22 = M[0][0] * M[1][1] - M[0][1] * M[1][0];
+                    double invcc = cof22 / det;
+                    double s2e = sse / std::max(n - 3, 1);
+                    double se = invcc > 0 ? std::sqrt(s2e * invcc) : 0.0;
+                    best_t = se > 0 ? c / se : 0.0;
+                }
+            }
+        }
+    }
+
+    // --- model 4: two independent linear segments; step = offset at brk
+    if (sides_ok && n1 >= 6 && n2 >= 6) {
+        LinFit f1, f2;
+        if (lin_fit(ts, vs, 0, n1, &f1) && lin_fit(ts, vs, n1, n, &f2)) {
+            double sse = f1.sse + f2.sse;
+            double b4 = bic(sse, n, 4);
+            if (b4 < best_bic) {
+                double tb = (double)brk - 0.5;  // between last-before, first-after
+                double step = (f2.a + f2.b * tb) - (f1.a + f1.b * tb);
+                double s2e = sse / std::max(n - 4, 1);
+                double v1 = s2e * (1.0 / f1.n + (tb - f1.tbar) * (tb - f1.tbar) / f1.sxx);
+                double v2 = s2e * (1.0 / f2.n + (tb - f2.tbar) * (tb - f2.tbar) / f2.sxx);
+                double se = std::sqrt(v1 + v2);
+                best_bic = b4;
+                best_model = 4;
+                best_step = step;
+                best_t = se > 0 ? step / se : 0.0;
+            }
+        }
+    }
+
+    *step_out = best_step;
+    *tstat_out = best_t;
+    return best_model;
+}
 
 // Detect changepoints in a batch of difference series.
 //   series:  (n_series, T) row-major float32, NaN = missing
@@ -112,22 +323,5 @@ int pha_detect_breaks(const float* series, int n_series, int T, int minseg,
     return 0;
 }
 
-// Step size at a break: mean(x[after window]) - mean(x[before window]),
-// windows bounded by [lo, hi) and clipped to win_max finite months each side.
-// Returns NaN if either side has < win_min finite months.
-double pha_step_size(const float* x, int T, int brk, int lo, int hi,
-                     int win_min, int win_max) {
-    if (brk <= lo || brk >= hi) return NAN;
-    double s_before = 0.0; int n_before = 0;
-    for (int t = brk - 1; t >= lo && n_before < win_max; --t) {
-        if (std::isfinite(x[t])) { s_before += x[t]; ++n_before; }
-    }
-    double s_after = 0.0; int n_after = 0;
-    for (int t = brk; t < hi && n_after < win_max; ++t) {
-        if (std::isfinite(x[t])) { s_after += x[t]; ++n_after; }
-    }
-    if (n_before < win_min || n_after < win_min) return NAN;
-    return s_after / n_after - s_before / n_before;
-}
 
 }  // extern "C"
