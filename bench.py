@@ -1,6 +1,6 @@
-"""Headline benchmark: grid cells/sec fully interpolated (kriged mean +
-kriging variance for 12 monthly normals, plus 365 daily values) on the
-available accelerator.
+"""Headline benchmark: variable-cells/sec fully interpolated (kriged mean +
+kriging variance for 12 monthly normals, plus 365 daily values, for BOTH
+variables via the paired tmin+tmax step) on the available accelerator.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "cells/sec", "vs_baseline": N}
@@ -10,8 +10,13 @@ numbers (BASELINE.md: `published: {}`); the driver's north-star target is
 one full year of CONUS daily tmin+tmax at 30 arcsec (~1.3e7 land cells,
 both variables) in under 10 minutes on a v5e-8. Per chip that is
     2 vars * 1.3e7 cells / 600 s / 8 chips ~= 5417 cells/sec/chip.
-``vs_baseline`` is measured single-chip cells/sec divided by that per-chip
-north-star rate, so vs_baseline >= 1.0 means the target is met.
+The north star counts variable-cells (2 per grid cell), so the benchmark
+runs the production-shaped PAIRED step (tmin+tmax sharing neighborhoods /
+gains / scatter, interp.point.interp_tile_pair) and reports
+2 * cells / step-time. ``vs_baseline`` is that single-chip rate divided by
+the per-chip north-star rate, so vs_baseline >= 1.0 means the target is
+met. (Measured solo-variable rate for comparison: ~103.5k cells/s; the
+paired step is ~1.30x per variable-cell.)
 """
 
 import json
@@ -27,11 +32,16 @@ def main():
 
     from topotpu.core.config import InterpParams
     from topotpu.core.dates import get_days_metadata
-    from topotpu.interp.point import interp_tile
+    from topotpu.interp.point import (
+        PairTileInputs,
+        VarFields,
+        interp_tile_pair,
+    )
     from topotpu.io.synthetic import make_world, tile_inputs_from_world
 
     # One production-shaped batch: 128x128-cell tile batch x4 = 65536 cells,
-    # 512-station pool, k=32 neighborhoods, full year of dailies.
+    # 512-station pool, k=32 neighborhoods, full year of dailies, BOTH
+    # variables (tmin + a tmax-like sibling) through the paired step.
     n_cells = 65536
     side = 256
     n_stations = 512
@@ -41,27 +51,37 @@ def main():
     cells = np.arange(n_cells)
     rows, cols = np.unravel_index(cells, (side, side))
     ti, _ = tile_inputs_from_world(world, days.month_idx, rows, cols)
+    pair = PairTileInputs(
+        geom=ti,
+        b=VarFields(
+            norm=ti.stn_norm + 9.0,
+            vario=ti.stn_vario,
+            anoms=ti.stn_anoms * 0.85,
+        ),
+    )
 
     params = InterpParams(k_neighbors=32)
     # synthetic stations are valid in all months -> single neighborhood
     # selection (the engine auto-detects the same condition in production)
-    fn = jax.jit(lambda t: interp_tile(t, params, shared_validity=True))
+    fn = jax.jit(lambda p: interp_tile_pair(p, params, shared_validity=True))
 
-    ti = jax.device_put(ti)
-    res = jax.block_until_ready(fn(ti))  # compile + warm
-    assert bool(np.isfinite(np.asarray(res.normal)).all())
+    pair = jax.device_put(pair)
+    res_a, res_b = jax.block_until_ready(fn(pair))  # compile + warm
+    assert bool(np.isfinite(np.asarray(res_a.normal)).all())
+    assert bool(np.isfinite(np.asarray(res_b.normal)).all())
 
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        res = fn(ti)
+        res = fn(pair)
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / n_iter
 
-    cells_per_sec = n_cells / dt
+    cells_per_sec = 2 * n_cells / dt
     out = {
-        "metric": "grid cells/sec fully interpolated (12 monthly kriged normals "
-        "+ variance + 365 daily GWR anomalies, k=32, single chip)",
+        "metric": "variable-cells/sec fully interpolated (12 monthly kriged "
+        "normals + variance + 365 daily GWR anomalies for BOTH variables "
+        "via the paired tmin+tmax step, k=32, single chip)",
         "value": round(cells_per_sec, 1),
         "unit": "cells/sec",
         "vs_baseline": round(cells_per_sec / NORTH_STAR_CELLS_PER_SEC_PER_CHIP, 3),

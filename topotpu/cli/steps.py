@@ -278,14 +278,17 @@ def step_interp(cfg: TopoConfig, chunk_years: int = 0, ctx=None) -> dict:
     days = _days(cfg)
     rasters = RasterStack.load(p["rasters"])
     eng = TileEngine(cfg, rasters, days, p["tiles"], ctx=ctx)
-    out = {}
-    for var in (C.TMIN, C.TMAX):
-        stations = _station_set(p[f"serial_{var}"], days)
-        if chunk_years:
-            out[var] = eng.run_production(var, stations, chunk_years)
-        else:
-            out[var] = eng.run(var, stations)
-    return out
+    sets = {v: _station_set(p[f"serial_{v}"], days) for v in (C.TMIN, C.TMAX)}
+    # Both variables per tile in ONE device pass when the station sets share
+    # geometry/validity (the standard pipeline); run_pair falls back to two
+    # sequential passes otherwise.
+    if chunk_years:
+        n = eng.run_production_pair(
+            C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX], chunk_years
+        )
+    else:
+        n = eng.run_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX])
+    return {C.TMIN: n // 2, C.TMAX: n - n // 2}
 
 
 # -------------------------------------------------------- stage: validate

@@ -157,6 +157,23 @@ class TileEngine:
             }
         self._fn = self._fns[False]
         self._shard = lambda ti: shard_tile_inputs(mesh, ti)
+        self._pair_fns: dict | None = None  # built lazily by run_pair
+
+    def _get_pair_fn(self, shared: bool):
+        from topotpu.dist.mesh import (
+            shard_pair_inputs,
+            sharded_interp_tile_pair_flat,
+        )
+
+        if self._pair_fns is None:
+            self._pair_fns = {
+                flag: sharded_interp_tile_pair_flat(
+                    self.mesh, self.config.interp, flag
+                )
+                for flag in (False, True)
+            }
+            self._shard_pair = lambda p: shard_pair_inputs(self.mesh, p)
+        return self._pair_fns[shared]
 
     def _dispatch(self, task: TileTask):
         """Launch the device step for one tile (async) and start the
@@ -416,6 +433,185 @@ class TileEngine:
             sub._fns = self._fns
             sub._shard = self._shard
             n_done += sub.run(var, sub_stations, progress=progress)
+        return n_done
+
+    # ----------------------------------------------------------- paired run
+    @staticmethod
+    def _pairable(a: StationSet, b: StationSet) -> bool:
+        """The paired step shares neighborhoods across variables, which is
+        only sound when both variables see the same station geometry and
+        per-month validity (true for the standard pipeline: one network,
+        serially-complete after infill)."""
+        return (
+            a.n == b.n
+            and np.array_equal(a.lon, b.lon)
+            and np.array_equal(a.lat, b.lat)
+            and np.array_equal(a.elev, b.elev)
+            and np.array_equal(a.valid, b.valid)
+        )
+
+    def prepare_pair(self, spec: TileSpec, a: StationSet, b: StationSet):
+        """Host prep for the two-variable step: var A's full TileInputs plus
+        var B's station fields gathered over the SAME pool."""
+        import jax.numpy as jnp
+
+        from topotpu.interp.point import PairTileInputs, VarFields
+
+        task = self.prepare(spec, a)
+        pool = task.pool_idx
+        anoms_b = group_days_by_month(
+            b.anoms[pool].astype(np.float32), self.layout
+        )
+        bf = VarFields(
+            norm=jnp.asarray(b.norm[pool], np.float32),
+            vario=jnp.asarray(b.vario[pool], np.float32),
+            anoms=jnp.asarray(np.moveaxis(anoms_b, 1, 0), np.float32),
+        )
+        return task, PairTileInputs(geom=task.inputs, b=bf)
+
+    def _write_tile_pair(
+        self, spec: TileSpec, var_a: str, var_b: str, result
+    ) -> None:
+        """Split the one fetched two-variable buffer and write both files."""
+        from topotpu.interp.point import FlatTileResult
+
+        n_rows = self.days.ndays + 24
+        buf = np.asarray(result.buf)    # one RPC for both variables
+        sc = np.asarray(result.scales)
+        self._write_tile_flat(
+            spec, var_a, FlatTileResult(buf=buf[:n_rows], scales=sc[:6])
+        )
+        self._write_tile_flat(
+            spec, var_b, FlatTileResult(buf=buf[n_rows:], scales=sc[6:])
+        )
+
+    def run_pair(
+        self,
+        var_a: str,
+        var_b: str,
+        stations_a: StationSet,
+        stations_b: StationSet,
+        progress: bool = True,
+    ) -> int:
+        """Interpolate BOTH variables per tile in one device pass.
+
+        The reference runs a full gridded pass per variable
+        (bin/mpi_interp_tair.py once for tmin, once for tmax); here the
+        second variable shares the tile's neighborhoods, GWR gains, daily
+        scatter, host prep and the single fetch RPC, paying only its
+        kriging solve + matmul slice. Falls back to two sequential runs
+        when the station sets differ or packed output is disabled.
+        Returns tiles completed (counting each variable)."""
+        if not (self._flat and self._pairable(stations_a, stations_b)):
+            return self.run(var_a, stations_a, progress) + self.run(
+                var_b, stations_b, progress
+            )
+        import jax.numpy as jnp
+
+        shared = bool(
+            np.all(stations_a.valid == stations_a.valid[:, :1])
+        )
+        fn = self._get_pair_fn(shared)
+        slot = jnp.asarray(self.layout.slot_of_day, jnp.int32)
+        done = self.manifest["tiles"]
+        pending = [
+            ts
+            for ts in self.tiling.land_tiles(self.rasters.landmask)
+            if self.ctx.owns_tile(ts.tile_id)
+            and not all(
+                self._tile_key(ts, v) in done
+                and self._tile_file(ts, v).exists()
+                for v in (var_a, var_b)
+            )
+        ]
+        status = StatusCheck(
+            total=len(pending), unit="tiles", enabled=progress,
+            items_per=2 * self.config.tile_rows * self.config.tile_cols,
+        )
+        import contextlib
+
+        inflight = None
+        n_done = 0
+        it = iter(pending)
+        next_spec = next(it, None)
+        prepared = (
+            self.prepare_pair(next_spec, stations_a, stations_b)
+            if next_spec
+            else None
+        )
+        while prepared is not None:
+            task, pair = prepared
+            fut = fn(self._shard_pair(pair), slot)
+            with contextlib.suppress(Exception):  # best-effort prefetch
+                fut.buf.copy_to_host_async()
+                fut.scales.copy_to_host_async()
+            cur_spec = task.spec
+            next_spec = next(it, None)
+            prepared = (
+                self.prepare_pair(next_spec, stations_a, stations_b)
+                if next_spec
+                else None
+            )
+            if inflight is not None:
+                self._write_tile_pair(inflight[0], var_a, var_b, inflight[1])
+                n_done += 2
+                status.tick()
+            inflight = (cur_spec, fut)
+        if inflight is not None:
+            self._write_tile_pair(inflight[0], var_a, var_b, inflight[1])
+            n_done += 2
+            status.tick()
+        return n_done
+
+    def run_production_pair(
+        self,
+        var_a: str,
+        var_b: str,
+        stations_a: StationSet,
+        stations_b: StationSet,
+        years_per_chunk: int = 4,
+        progress: bool = True,
+    ) -> int:
+        """Chunked multi-decade production for both variables at once; same
+        chunking/resume semantics as run_production."""
+        years = self.days.years
+        n_done = 0
+        for c0 in range(0, len(years), years_per_chunk):
+            span = years[c0 : c0 + years_per_chunk]
+            d0 = max(np.datetime64(f"{span[0]}-01-01"), self.days.date64[0])
+            d1 = min(np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1])
+            from topotpu.core.dates import get_days_metadata
+
+            sub_days = get_days_metadata(str(d0), str(d1))
+            day_sel = (self.days.year >= span[0]) & (self.days.year <= span[-1])
+            sub = TileEngine(
+                self.config,
+                self.rasters,
+                sub_days,
+                self.out_dir / f"chunk_{span[0]}_{span[-1]}",
+                mesh=self.mesh,
+                margin_km=self.margin_km,
+                ctx=self.ctx,
+            )
+            sub._fns = self._fns
+            sub._shard = self._shard
+            if self._pair_fns is not None:
+                sub._pair_fns = self._pair_fns
+                sub._shard_pair = self._shard_pair
+            n_done += sub.run_pair(
+                var_a,
+                var_b,
+                dataclasses.replace(
+                    stations_a, anoms=stations_a.anoms[:, day_sel]
+                ),
+                dataclasses.replace(
+                    stations_b, anoms=stations_b.anoms[:, day_sel]
+                ),
+                progress=progress,
+            )
+            if sub._pair_fns is not None:
+                self._pair_fns = sub._pair_fns
+                self._shard_pair = sub._shard_pair
         return n_done
 
     # ------------------------------------------------------------- main loop

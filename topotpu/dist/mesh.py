@@ -117,6 +117,59 @@ def sharded_interp_tile_flat(
     return jax.jit(fn)
 
 
+def pair_input_specs():
+    """PartitionSpecs for PairTileInputs: var A's TileInputs as usual; var
+    B's station fields replicated like every other station-pool array."""
+    from topotpu.interp.point import PairTileInputs, VarFields
+
+    return PairTileInputs(
+        geom=tile_input_specs(),
+        b=VarFields(norm=P(), vario=P(), anoms=P()),
+    )
+
+
+def sharded_interp_tile_pair_flat(
+    mesh: Mesh, params: InterpParams, shared_validity: bool = False
+):
+    """SPMD production step for BOTH variables at once (tmin + tmax).
+
+    Same collective-free sharding story; neighborhoods, GWR gains and the
+    daily scatter are computed once and shared across the two variables
+    (interp.point._interp_tile_multi), and the whole two-variable product
+    leaves the device as ONE flat int16 buffer (one fetch RPC).
+    Returns ``fn(PairTileInputs, slot_of_day) -> FlatTileResult`` with
+    buf (2*(ndays+24), C) and scales (12,)."""
+    from topotpu.interp.point import FlatTileResult, interp_tile_pair_flat
+
+    fn = shard_map(
+        functools.partial(
+            interp_tile_pair_flat, params=params,
+            shared_validity=shared_validity, mesh_axis=CELL_AXIS,
+        ),
+        mesh=mesh,
+        in_specs=(pair_input_specs(), P()),
+        out_specs=FlatTileResult(buf=P(None, CELL_AXIS), scales=P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_pair_inputs(mesh: Mesh, pair):
+    """device_put a PairTileInputs with the engine's shardings."""
+    from topotpu.interp.point import PairTileInputs, VarFields
+
+    b_specs = VarFields(norm=P(), vario=P(), anoms=P())
+    return PairTileInputs(
+        geom=shard_tile_inputs(mesh, pair.geom),
+        b=VarFields(
+            *(
+                jax.device_put(v, NamedSharding(mesh, s))
+                for v, s in zip(pair.b, b_specs)
+            )
+        ),
+    )
+
+
 def _result_specs():
     from topotpu.interp.point import TileResult
 

@@ -113,29 +113,52 @@ def _local_xy_km(lon, lat, ref_lat_deg: float):
     return lon * kx, lat * ky
 
 
-def interp_tile(
+class VarFields(NamedTuple):
+    """Per-variable station fields for the multi-variable tile step.
+
+    The tile geometry (cells, station coordinates/covariates, validity) is
+    shared across variables; only these three arrays differ between tmin
+    and tmax (SURVEY §2.14: the reference interpolates each variable in a
+    separate full pass — here extra variables ride the same neighborhoods,
+    GWR gains and scatter, paying only the per-variable kriging solve and
+    daily matmul)."""
+
+    norm: jnp.ndarray    # (S, 12)
+    vario: jnp.ndarray   # (S, 12, 3)
+    anoms: jnp.ndarray   # (12, S, dpm)
+
+
+class PairTileInputs(NamedTuple):
+    """Inputs for the two-variable production step: var A rides ``geom``
+    (a full TileInputs); var B shares all geometry and supplies only its
+    VarFields. Caller must guarantee stn_valid applies to both variables
+    (the engine host-checks this before choosing the paired path)."""
+
+    geom: TileInputs
+    b: VarFields
+
+
+def _interp_tile_multi(
     inputs: TileInputs,
+    extra_vars: tuple,
     params: InterpParams,
-    shared_validity: bool = False,
-    pack_daily: bool = False,
-    mesh_axis: str | None = None,
-) -> TileResult:
-    """Interpolate every cell x month x day of one tile. Jit this.
+    shared_validity: bool,
+) -> list:
+    """Shared core: interpolate 1 + len(extra_vars) variables on one tile
+    geometry. Returns one unpacked TileResult per variable.
 
-    ``shared_validity`` (static): when the caller knows stn_valid is
-    identical across months (true whenever validity comes from per-station
-    BAD flags only — the engine detects it), neighborhoods are selected
-    once instead of 12 times. top_k is the single most expensive per-month
-    op (~52 ms per 65k-cell month), so this is a major saving.
-
-    ``pack_daily`` (static): quantize the daily block to int16 on device
-    with one tile-wide scale/offset — halves the device->host transfer and
-    removes the host-side packing pass; non-ok cells carry PACK_SENTINEL.
-    Under shard_map pass ``mesh_axis`` so the scale is a global pmin/pmax
-    (two scalar collectives — the only ones in the program)."""
+    Work shared across variables: the (C, S) distance matrix, per-month
+    top_k neighborhood selection, covariate gathers, the GWR anomaly gains
+    (geometry-only) and the daily scatter. Per-variable work: the kriging
+    solve (variogram differs) and the daily MXU matmul (one matmul total —
+    variables are concatenated along the day axis)."""
     C = inputs.cell_lon.shape[0]
     S = inputs.stn_lon.shape[0]
     dtype = inputs.cell_lon.dtype
+    all_vars = (
+        VarFields(inputs.stn_norm, inputs.stn_vario, inputs.stn_anoms),
+    ) + tuple(extra_vars)
+    V = len(all_vars)
 
     # Shape-size hygiene: XLA's top_k (and the fused kernel's Mosaic
     # compile) are pathologically slow at some exact sizes — measured 28 s
@@ -169,7 +192,11 @@ def interp_tile(
         inputs.cell_lon, inputs.cell_lat, inputs.stn_lon, inputs.stn_lat
     )
 
-    normals, ses, oks, varios = [], [], [], []
+    # [v][m] result lists
+    normals = [[] for _ in range(V)]
+    ses = [[] for _ in range(V)]
+    oks = [[] for _ in range(V)]
+    varios = [[] for _ in range(V)]
     gains_by_month = []
     nbr = None
     for m in range(12):
@@ -216,29 +243,25 @@ def interp_tile(
             [inputs.cell_elev, cell_x, cell_y], axis=-1
         )
         if ka == k_req:
-            # same neighborhoods: normals + gains come from ONE fused kernel
+            # same neighborhoods: var 0's normals + the (variable-shared)
+            # gains come from ONE fused kernel; extra variables pay only a
+            # normals solve on the same gathered geometry
             nbr_cov_anom = jnp.stack(
                 [take(inputs.stn_elev), take(stn_x), take(stn_y)], axis=-1
             )
             res, gains = krig_normals_and_gains(
                 nbr.dist, nbr.mask, take(stn_xyz), nbr_cov, cell_cov,
-                take(inputs.stn_norm[:, m]), take(inputs.stn_vario[:, m, :]),
+                take(all_vars[0].norm[:, m]), take(all_vars[0].vario[:, m, :]),
                 nbr_cov_anom, cell_cov_anom,
                 weight_kernel=params.weight_kernel, ridge=params.ridge,
                 jitter_frac=params.chol_jitter,
                 min_neighbors=params.min_neighbors,
                 use_pallas=params.use_pallas,
             )
+            results_m = [res]
             nbr_a = nbr
         else:
-            res = krig_normals(
-                nbr.dist, nbr.mask, take(stn_xyz), nbr_cov, cell_cov,
-                take(inputs.stn_norm[:, m]), take(inputs.stn_vario[:, m, :]),
-                weight_kernel=params.weight_kernel, ridge=params.ridge,
-                jitter_frac=params.chol_jitter,
-                min_neighbors=params.min_neighbors,
-                use_pallas=params.use_pallas,
-            )
+            results_m = []
             nbr_a = Neighborhood(
                 idx=nbr.idx[:, :ka], dist=nbr.dist[:, :ka],
                 mask=nbr.mask[:, :ka],
@@ -256,10 +279,22 @@ def interp_tile(
                 weight_kernel=params.weight_kernel,
                 ridge=params.ridge,
             )
-        normals.append(res.normal)
-        ses.append(res.se)
-        oks.append(res.ok & inputs.cell_mask)
-        varios.append(res.vario)
+        for var in all_vars[len(results_m):]:
+            results_m.append(
+                krig_normals(
+                    nbr.dist, nbr.mask, take(stn_xyz), nbr_cov, cell_cov,
+                    take(var.norm[:, m]), take(var.vario[:, m, :]),
+                    weight_kernel=params.weight_kernel, ridge=params.ridge,
+                    jitter_frac=params.chol_jitter,
+                    min_neighbors=params.min_neighbors,
+                    use_pallas=params.use_pallas,
+                )
+            )
+        for v, res_v in enumerate(results_m):
+            normals[v].append(res_v.normal)
+            ses[v].append(res_v.se)
+            oks[v].append(res_v.ok & inputs.cell_mask)
+            varios[v].append(res_v.vario)
         gains_by_month.append((gains, nbr_a))
 
     # ---- daily anomalies -------------------------------------------------
@@ -271,59 +306,106 @@ def interp_tile(
         and params.use_pallas != "off"
         and C % CELLS_BLOCK == 0
     )
+    dailies = [[] for _ in range(V)]  # [v][m] (C, dpm)
     if use_scatter_kernel and shared_validity:
         # With month-invariant validity the anomaly gains are identical for
         # every month (geometry-only), so ONE scatter + ONE MXU matmul over
-        # the concatenated (S, 12*dpm) day matrix covers the whole year.
+        # the concatenated (S, V*12*dpm) day matrix covers the whole year
+        # for every variable at once.
         from topotpu.kernels.pallas_scatter import scatter_daily_matmul
 
         g0, nbr0 = gains_by_month[0]
-        Y_all = jnp.transpose(inputs.stn_anoms, (1, 0, 2)).reshape(S, 12 * dpm)
-        anom_all = scatter_daily_matmul(
-            nbr0.idx.T, g0.T, nbr0.mask.T.astype(dtype), Y_all
+        Y_cat = jnp.concatenate(
+            [
+                jnp.transpose(var.anoms, (1, 0, 2)).reshape(S, 12 * dpm)
+                for var in all_vars
+            ],
+            axis=1,
         )
-        dailies = [
-            normals[m][:, None] + anom_all[:, m * dpm : (m + 1) * dpm]
-            for m in range(12)
-        ]
+        anom_all = scatter_daily_matmul(
+            nbr0.idx.T, g0.T, nbr0.mask.T.astype(dtype), Y_cat
+        )
+        for v in range(V):
+            off = v * 12 * dpm
+            for m in range(12):
+                dailies[v].append(
+                    normals[v][m][:, None]
+                    + anom_all[:, off + m * dpm : off + (m + 1) * dpm]
+                )
     else:
-        dailies = []
         for m in range(12):
             gains, nbr_a = gains_by_month[m]
             if use_scatter_kernel:
                 from topotpu.kernels.pallas_scatter import scatter_daily_matmul
 
+                Y_m = jnp.concatenate(
+                    [var.anoms[m] for var in all_vars], axis=1
+                )  # (S, V*dpm): one scatter serves every variable
                 anom = scatter_daily_matmul(
-                    nbr_a.idx.T, gains.T, nbr_a.mask.T.astype(dtype),
-                    inputs.stn_anoms[m],
+                    nbr_a.idx.T, gains.T, nbr_a.mask.T.astype(dtype), Y_m
                 )
+                for v in range(V):
+                    dailies[v].append(
+                        normals[v][m][:, None]
+                        + anom[:, v * dpm : (v + 1) * dpm]
+                    )
             elif dpm <= 64:
                 # short day axes: the (C,k,dpm) gather+einsum beats the
                 # (C,S) scatter-add (irregular TPU writes)
                 from topotpu.interp.anoms import predict_daily_gathered
 
-                anom = predict_daily_gathered(
-                    gains, nbr_a.idx, nbr_a.mask, inputs.stn_anoms[m]
-                )
+                for v in range(V):
+                    anom = predict_daily_gathered(
+                        gains, nbr_a.idx, nbr_a.mask, all_vars[v].anoms[m]
+                    )
+                    dailies[v].append(normals[v][m][:, None] + anom)
             else:
                 G = scatter_gains(gains, nbr_a.idx, nbr_a.mask, S)
-                anom = predict_daily(G, inputs.stn_anoms[m])
-            dailies.append(normals[m][:, None] + anom)
+                for v in range(V):
+                    anom = predict_daily(G, all_vars[v].anoms[m])
+                    dailies[v].append(normals[v][m][:, None] + anom)
 
-    normal = jnp.stack(normals)
-    se = jnp.stack(ses)
-    ok = jnp.stack(oks)
-    daily = jnp.stack(dailies).astype(dtype)
-    vario_out = jnp.stack(varios)
+    return [
+        TileResult(
+            normal=jnp.stack(normals[v]),
+            se=jnp.stack(ses[v]),
+            ok=jnp.stack(oks[v]),
+            daily=jnp.stack(dailies[v]).astype(dtype),
+            vario=jnp.stack(varios[v]),
+            daily_scale=jnp.float32(1.0),
+            daily_offset=jnp.float32(0.0),
+        )
+        for v in range(V)
+    ]
 
+
+def interp_tile(
+    inputs: TileInputs,
+    params: InterpParams,
+    shared_validity: bool = False,
+    pack_daily: bool = False,
+    mesh_axis: str | None = None,
+) -> TileResult:
+    """Interpolate every cell x month x day of one tile. Jit this.
+
+    ``shared_validity`` (static): when the caller knows stn_valid is
+    identical across months (true whenever validity comes from per-station
+    BAD flags only — the engine detects it), neighborhoods are selected
+    once instead of 12 times. top_k is the single most expensive per-month
+    op (~52 ms per 65k-cell month), so this is a major saving.
+
+    ``pack_daily`` (static): quantize the daily block to int16 on device
+    with one tile-wide scale/offset — halves the device->host transfer and
+    removes the host-side packing pass; non-ok cells carry PACK_SENTINEL.
+    Under shard_map pass ``mesh_axis`` so the scale is a global pmin/pmax
+    (two scalar collectives — the only ones in the program)."""
+    res = _interp_tile_multi(inputs, (), params, shared_validity)[0]
     if not pack_daily:
         # scale/offset kept as trivial scalars so the pytree structure (and
         # shard_map out_specs) is identical in both modes
-        return TileResult(normal=normal, se=se, ok=ok, daily=daily,
-                          vario=vario_out,
-                          daily_scale=jnp.float32(1.0),
-                          daily_offset=jnp.float32(0.0))
+        return res
 
+    ok, daily = res.ok, res.daily
     valid3 = ok[:, :, None]
     big = jnp.float32(3.0e38)
     mn = jnp.min(jnp.where(valid3, daily, big))
@@ -338,8 +420,8 @@ def interp_tile(
     offset = (mx + mn) / 2.0
     q = jnp.round((daily - offset) / scale).astype(jnp.int16)
     q = jnp.where(valid3, q, jnp.int16(PACK_SENTINEL))
-    return TileResult(
-        normal=normal, se=se, ok=ok, daily=q, vario=vario_out,
+    return res._replace(
+        daily=q,
         daily_scale=scale.astype(jnp.float32),
         daily_offset=offset.astype(jnp.float32),
     )
@@ -366,14 +448,35 @@ def interp_tile_flat(
         inputs, params, shared_validity=shared_validity,
         pack_daily=False, mesh_axis=None,
     )
+    # month-grouped (12, C, dpm) -> (12*dpm, C) -> calendar (ndays, C);
+    # the sentinel is applied per-month inside _quantize_plane so it
+    # survives the gather, and padding slots are never selected by
+    # slot_of_day.
+    buf, scales = _flatten_result(res, slot_of_day, mesh_axis)
+    return FlatTileResult(buf=buf, scales=scales)
+
+
+def interp_tile_pair(
+    pair: PairTileInputs,
+    params: InterpParams,
+    shared_validity: bool = False,
+) -> tuple[TileResult, TileResult]:
+    """Two-variable tile step (unpacked): tmin and tmax in one jit, sharing
+    neighborhoods, GWR gains and the daily scatter-matmul. Var A's result
+    is identical to a solo ``interp_tile`` on ``pair.geom``; var B pays only
+    its kriging solve + its slice of the shared daily matmul."""
+    res = _interp_tile_multi(
+        pair.geom, (pair.b,), params, shared_validity
+    )
+    return res[0], res[1]
+
+
+def _flatten_result(res: TileResult, slot_of_day, mesh_axis):
+    """Quantize + calendar-reorder one TileResult into flat-buffer planes."""
     C = res.normal.shape[1]
     dpm = res.daily.shape[-1]
-
-    valid3 = res.ok[:, :, None]                       # (12, C, 1)
+    valid3 = res.ok[:, :, None]
     dq, d_scale, d_off = _quantize_plane(res.daily, valid3, mesh_axis)
-    # month-grouped (12, C, dpm) -> (12*dpm, C) -> calendar (ndays, C);
-    # sentinel was applied per-month above so it survives the gather, and
-    # padding slots are never selected by slot_of_day.
     cal = jnp.transpose(dq, (0, 2, 1)).reshape(12 * dpm, C)[
         jnp.asarray(slot_of_day, jnp.int32)
     ]
@@ -381,7 +484,28 @@ def interp_tile_flat(
     sq, s_scale, s_off = _quantize_plane(res.se, res.ok, mesh_axis)
     buf = jnp.concatenate([cal, nq, sq], axis=0)
     scales = jnp.stack([d_scale, d_off, n_scale, n_off, s_scale, s_off])
-    return FlatTileResult(buf=buf, scales=scales)
+    return buf, scales
+
+
+def interp_tile_pair_flat(
+    pair: PairTileInputs,
+    slot_of_day: jnp.ndarray,
+    params: InterpParams,
+    shared_validity: bool = False,
+    mesh_axis: str | None = None,
+) -> FlatTileResult:
+    """Production-mode paired step: BOTH variables leave the device as ONE
+    flat int16 buffer (one fetch RPC on the tunneled link instead of two).
+
+    Layout: var A's (ndays + 24, C) block (see FlatTileResult) followed by
+    var B's; ``scales`` is var A's 6 floats then var B's."""
+    res_a, res_b = interp_tile_pair(pair, params, shared_validity)
+    buf_a, sc_a = _flatten_result(res_a, slot_of_day, mesh_axis)
+    buf_b, sc_b = _flatten_result(res_b, slot_of_day, mesh_axis)
+    return FlatTileResult(
+        buf=jnp.concatenate([buf_a, buf_b], axis=0),
+        scales=jnp.concatenate([sc_a, sc_b]),
+    )
 
 
 # ---------------------------------------------------------------------------
