@@ -9,7 +9,9 @@ from topotpu.core.dates import get_days_metadata
 from topotpu.homog.pha import (
     break_model,
     detect_breaks,
+    homogenize_elements,
     homogenize_network,
+    merge_attributions,
     monthly_means,
 )
 from topotpu.io.synthetic import make_world
@@ -194,6 +196,77 @@ def test_homogenize_step_on_trend(daily_network):
     b, est = res.breakpoints[7][0]
     assert abs(b - 72) <= 6
     assert abs(est - (-1.8)) < 0.4, f"step estimate {est}"
+
+
+def test_merge_attributions_rules():
+    # need=4, date_tol=6, minseg=24
+    args = dict(need=4, date_tol=6, minseg=24)
+
+    # full quorum in one element: accepted there, not elsewhere
+    acc = merge_attributions(
+        {"tmin": [(50, 4)], "tmax": []}, **args
+    )
+    assert acc == {"tmin": [50], "tmax": []}
+
+    # one vote short, corroborated by a near-quorum cluster at the same
+    # date in the other element: accepted in both (multi-element confirm)
+    acc = merge_attributions(
+        {"tmin": [(50, 3)], "tmax": [(53, 3)]}, **args
+    )
+    assert acc == {"tmin": [50], "tmax": [53]}
+
+    # one vote short, no corroboration: rejected
+    acc = merge_attributions(
+        {"tmin": [(50, 3)], "tmax": [(120, 3)]}, **args
+    )
+    assert acc == {"tmin": [], "tmax": []}
+
+    # two votes short is never rescued
+    acc = merge_attributions(
+        {"tmin": [(50, 2)], "tmax": [(50, 8)]}, **args
+    )
+    assert acc == {"tmin": [], "tmax": [50]}
+
+    # minseg thinning keeps the earliest of a too-close pair
+    acc = merge_attributions(
+        {"tmin": [(50, 5), (60, 5), (90, 5)], "tmax": []}, **args
+    )
+    assert acc["tmin"] == [50, 90]
+
+
+def test_homogenize_elements_joint_and_specific(daily_network):
+    # One joint break (station move: both elements step together, sizes
+    # differ) and one element-specific break (tmax-only sensor change):
+    # the joint break is adjusted in both elements with per-element sizes,
+    # the specific one only in tmax.
+    world, days, daily = daily_network
+    tmin = daily.copy()
+    rng = np.random.default_rng(77)
+    tmax = (daily + 8.0 + rng.normal(0, 0.3, daily.shape)).astype(np.float32)
+
+    split = int(np.flatnonzero(days.ymd == 20100101)[0])
+    tmin[4, :split] += 1.2
+    tmax[4, :split] += 2.0          # same move, bigger tmax effect
+    split2 = int(np.flatnonzero(days.ymd == 20070101)[0])
+    tmax[9, :split2] -= 1.5         # tmax-only instrument change
+
+    res = homogenize_elements(
+        {"tmin": tmin, "tmax": tmax},
+        days.year, days.month, world.stn_lon, world.stn_lat,
+    )
+    # joint break at station 4 found in both, per-element sizes
+    b_tmin = dict(res["tmin"].breakpoints[4])
+    b_tmax = dict(res["tmax"].breakpoints[4])
+    assert any(abs(b - 72) <= 6 for b in b_tmin), b_tmin
+    assert any(abs(b - 72) <= 6 for b in b_tmax), b_tmax
+    est_tmin = [e for b, e in b_tmin.items() if abs(b - 72) <= 6][0]
+    est_tmax = [e for b, e in b_tmax.items() if abs(b - 72) <= 6][0]
+    assert abs(est_tmin - (-1.2)) < 0.4
+    assert abs(est_tmax - (-2.0)) < 0.5
+
+    # tmax-only break at station 9: adjusted in tmax, untouched in tmin
+    assert any(abs(b - 36) <= 6 for b, _ in res["tmax"].breakpoints[9])
+    assert np.abs(res["tmin"].adjustments[9]).max() < 0.5
 
 
 def test_monthly_means_sparse_guard(daily_network):

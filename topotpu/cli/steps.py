@@ -147,7 +147,7 @@ def step_qa(cfg: TopoConfig, spatial: bool = True) -> dict:
 
 
 def step_homog(cfg: TopoConfig) -> dict:
-    from topotpu.homog import homogenize_network
+    from topotpu.homog import homogenize_elements
 
     p = _paths(cfg)
     days = _days(cfg)
@@ -156,6 +156,7 @@ def step_homog(cfg: TopoConfig) -> dict:
         lon, lat = db.stn(C.LON), db.stn(C.LAT)
         attrs = {k: db.stn(k) for k in db._f["stn"].keys()}
         out = StationDB.create(p["homog"], attrs, days.date64)
+        obs_by_var = {}
         for var in (C.TMIN, C.TMAX):
             obs = db.obs(var)
             try:
@@ -163,7 +164,13 @@ def step_homog(cfg: TopoConfig) -> dict:
                 obs = np.where(flags == C.QA_OK, obs, np.nan)
             except KeyError:
                 pass
-            res = homogenize_network(obs, days.year, days.month, lon, lat)
+            obs_by_var[var] = obs
+        # joint homogenization: tmin/tmax breaks corroborate each other
+        # (multi-element confirmation), detection + adjustment per element
+        results = homogenize_elements(
+            obs_by_var, days.year, days.month, lon, lat
+        )
+        for var, res in results.items():
             out.set_obs(var, res.adjusted_daily)
             n_breaks[var] = sum(len(b) for b in res.breakpoints)
         out.close()

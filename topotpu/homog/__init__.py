@@ -1,1 +1,5 @@
-from topotpu.homog.pha import homogenize_network, HomogResult  # noqa: F401
+from topotpu.homog.pha import (  # noqa: F401
+    HomogResult,
+    homogenize_elements,
+    homogenize_network,
+)

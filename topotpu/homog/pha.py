@@ -149,22 +149,12 @@ def monthly_means(daily: np.ndarray, year: np.ndarray, month: np.ndarray,
     return out, uniq
 
 
-def homogenize_network(
-    daily: np.ndarray,
-    year: np.ndarray,
-    month: np.ndarray,
-    stn_lon: np.ndarray,
-    stn_lat: np.ndarray,
-    n_pairs: int = 8,
-    quorum_frac: float = 0.5,
-    quorum_min: int = 3,
-    date_tol: int = 6,
-    minseg: int = 24,
-    max_breaks: int = 5,
-    t_crit: float = 3.0,
-) -> HomogResult:
-    """Homogenize an (S, T) daily network in place of the reference's PHA run."""
-    S, T = daily.shape
+def _pair_diffs(
+    daily: np.ndarray, year: np.ndarray, month: np.ndarray, n_pairs: int
+):
+    """Monthly climatology anomalies and target-minus-neighbor difference
+    series against the n_pairs most-correlated neighbors."""
+    S = daily.shape[0]
     monthly, keys = monthly_means(daily, year, month)
     M = monthly.shape[1]
     cal_month = (keys % 12).astype(int)
@@ -186,75 +176,190 @@ def homogenize_network(
     # overlap requirement inside masked_correlation is 30 *days*; fine for months
     order = np.argsort(-np.abs(corr), axis=1)[:, :n_pairs]
 
-    # difference series for every (target, neighbor) pair
     diffs = np.full((S, n_pairs, M), np.nan, np.float32)
     for s in range(S):
         diffs[s] = anom[s][None, :] - anom[order[s]]
+    return monthly, keys, diffs
 
-    breaks, stats = detect_breaks(diffs.reshape(S * n_pairs, M), minseg, max_breaks)
-    breaks = breaks.reshape(S, n_pairs, max_breaks)
 
-    # attribution voting: break at month b attributed to target s when a
-    # quorum of its pairs see a break within +-date_tol
-    breakpoints: list[list[tuple[int, float]]] = []
-    adjustments = np.zeros((S, M), np.float32)
+def vote_clusters(
+    breaks_s: np.ndarray, date_tol: int
+) -> list[tuple[int, int]]:
+    """Cluster one station's pair break dates: (center month, votes) per
+    date cluster. A true break at the target is witnessed by (nearly)
+    every pair, while a neighbor's own break shows in just one pair — so
+    vote count separates culprit from witnesses."""
+    cand_sorted = np.sort(breaks_s[breaks_s >= 0])
+    out: list[tuple[int, int]] = []
+    i = 0
+    while i < len(cand_sorted):
+        close = np.abs(cand_sorted - cand_sorted[i]) <= date_tol
+        votes = int(close.sum())
+        out.append((int(np.median(cand_sorted[close])), votes))
+        i += votes
+    return out
+
+
+def merge_attributions(
+    clusters_by_elem: dict[str, list[tuple[int, int]]],
+    need: int,
+    date_tol: int,
+    minseg: int,
+) -> dict[str, list[int]]:
+    """Cross-element attribution (Menne-Williams multi-element
+    confirmation): a cluster is attributed when it reaches the quorum in
+    its own element, OR falls one vote short but is corroborated by a
+    near-quorum cluster at the same date (+-date_tol) in another element —
+    a station move shifts tmin and tmax together, so coincident evidence
+    across elements substitutes for one missing pair vote. Accepted dates
+    are then thinned to >= minseg spacing per element (date order)."""
+    accepted: dict[str, list[int]] = {}
+    for elem, clusters in clusters_by_elem.items():
+        dates: list[int] = []
+        for center, votes in clusters:
+            if votes >= need:
+                dates.append(center)
+                continue
+            if votes == need - 1 and any(
+                v2 >= need - 1 and abs(c2 - center) <= date_tol
+                for e2, cl2 in clusters_by_elem.items()
+                if e2 != elem
+                for c2, v2 in cl2
+            ):
+                dates.append(center)
+        thinned: list[int] = []
+        for c in sorted(dates):
+            if not thinned or c - thinned[-1] >= minseg:
+                thinned.append(c)
+        accepted[elem] = thinned
+    return accepted
+
+
+def _confirm_and_steps(
+    diffs_s: np.ndarray,
+    attributed: list[int],
+    M: int,
+    quorum_min: int,
+    t_crit: float,
+) -> list[tuple[int, float]]:
+    """Break-model confirmation + step estimation per attributed break.
+
+    For each pair series, minbic model selection classifies the
+    neighborhood of the break: only pairs whose best model contains a
+    step (2/3/4) AND whose step t-statistic clears t_crit count as
+    confirmations — so a trend inhomogeneity (model 1 wins) is never
+    adjusted as a step, and significance is amplitude-dependent (a small
+    offset in noisy/short segments has small t and is dropped). The step
+    estimate is the trimmed mean of the winning models' offsets, which
+    de-biases sloped steps that a window-mean estimator would smear."""
+    n_pairs = diffs_s.shape[0]
+    stn_breaks: list[tuple[int, float]] = []
+    bounds = [0] + attributed + [M]
+    for bi, b in enumerate(attributed):
+        lo, hi = bounds[bi], bounds[bi + 2]
+        steps = []
+        for p in range(n_pairs):
+            model, st, tstat = break_model(diffs_s[p], b, lo, hi)
+            if model >= 2 and np.isfinite(st) and abs(tstat) >= t_crit:
+                steps.append(st)
+        if len(steps) >= quorum_min:
+            steps = np.sort(steps)
+            k = len(steps) // 5
+            est = float(
+                np.mean(steps[k : len(steps) - k] if len(steps) > 2 * k else steps)
+            )
+            stn_breaks.append((int(b), est))
+    return stn_breaks
+
+
+def homogenize_elements(
+    dailies: dict[str, np.ndarray],
+    year: np.ndarray,
+    month: np.ndarray,
+    stn_lon: np.ndarray,
+    stn_lat: np.ndarray,
+    n_pairs: int = 8,
+    quorum_frac: float = 0.5,
+    quorum_min: int = 3,
+    date_tol: int = 6,
+    minseg: int = 24,
+    max_breaks: int = 5,
+    t_crit: float = 3.0,
+) -> dict[str, HomogResult]:
+    """Homogenize one or more elements (e.g. tmin + tmax) of an (S, T)
+    daily network in place of the reference's PHA run.
+
+    With multiple elements, attribution uses Menne-Williams-style
+    multi-element confirmation (see merge_attributions): coincident
+    near-quorum evidence across elements rescues breaks one vote short of
+    the single-element quorum. Detection, model confirmation, step
+    estimation and adjustment stay per-element (an instrument change can
+    shift tmax only, and the step sizes differ even for joint moves)."""
+    elems = list(dailies)
+    S = dailies[elems[0]].shape[0]
+    need = max(quorum_min, int(np.ceil(quorum_frac * n_pairs)))
+
+    per_elem: dict[str, tuple] = {}
+    for e in elems:
+        monthly, keys, diffs = _pair_diffs(dailies[e], year, month, n_pairs)
+        M = monthly.shape[1]
+        breaks, _ = detect_breaks(
+            diffs.reshape(S * n_pairs, M), minseg, max_breaks
+        )
+        per_elem[e] = (monthly, keys, diffs, breaks.reshape(S, n_pairs, -1))
+
+    results: dict[str, HomogResult] = {
+        e: HomogResult(
+            adjusted_daily=None, adjustments=np.zeros((S, per_elem[e][0].shape[1]), np.float32),
+            breakpoints=[], monthly=per_elem[e][0],
+        )
+        for e in elems
+    }
     for s in range(S):
-        # Votes: a true break at the target is witnessed by (nearly) every
-        # pair, while a neighbor's own break shows in just one pair — so a
-        # date cluster reaching the quorum is attributed to the target.
-        cand_sorted = np.sort(breaks[s][breaks[s] >= 0])
-        need = max(quorum_min, int(np.ceil(quorum_frac * n_pairs)))
-        attributed: list[int] = []
-        i = 0
-        while i < len(cand_sorted):
-            close = np.abs(cand_sorted - cand_sorted[i]) <= date_tol
-            if int(close.sum()) >= need:
-                center = int(np.median(cand_sorted[close]))
-                if not attributed or center - attributed[-1] >= minseg:
-                    attributed.append(center)
-            i += int(close.sum())
-
-        # Break-model confirmation + step estimation per attributed break.
-        # For each pair series, minbic model selection classifies the
-        # neighborhood of the break: only pairs whose best model contains a
-        # step (2/3/4) AND whose step t-statistic clears t_crit count as
-        # confirmations — so a trend inhomogeneity (model 1 wins) is never
-        # adjusted as a step, and significance is amplitude-dependent (a
-        # small offset in noisy/short segments has small t and is dropped).
-        # The step estimate comes from the winning model, which de-biases
-        # sloped steps that the naive window-mean estimator would smear.
-        stn_breaks: list[tuple[int, float]] = []
-        bounds = [0] + attributed + [M]
-        for bi, b in enumerate(attributed):
-            lo, hi = bounds[bi], bounds[bi + 2]
-            steps = []
-            for p in range(n_pairs):
-                model, st, tstat = break_model(diffs[s, p], b, lo, hi)
-                if model >= 2 and np.isfinite(st) and abs(tstat) >= t_crit:
-                    steps.append(st)
-            if len(steps) >= quorum_min:
-                steps = np.sort(steps)
-                k = len(steps) // 5
-                est = float(np.mean(steps[k : len(steps) - k] if len(steps) > 2 * k else steps))
-                stn_breaks.append((int(b), est))
-        breakpoints.append(stn_breaks)
-
-        # adjust-to-latest: months before each break get minus the
-        # accumulated later steps
-        adj = np.zeros(M, np.float32)
-        for b, est in stn_breaks:
-            adj[:b] += np.float32(est)  # adjust-to-latest accumulates
-        adjustments[s] = adj
+        clusters = {
+            e: vote_clusters(per_elem[e][3][s], date_tol) for e in elems
+        }
+        accepted = merge_attributions(clusters, need, date_tol, minseg)
+        for e in elems:
+            monthly, keys, diffs, _ = per_elem[e]
+            M = monthly.shape[1]
+            stn_breaks = _confirm_and_steps(
+                diffs[s], accepted[e], M, quorum_min, t_crit
+            )
+            results[e].breakpoints.append(stn_breaks)
+            # adjust-to-latest: months before each break get minus the
+            # accumulated later steps
+            adj = np.zeros(M, np.float32)
+            for b, est in stn_breaks:
+                adj[:b] += np.float32(est)
+            results[e].adjustments[s] = adj
 
     # broadcast monthly adjustments to daily values
-    keys_daily = year * 12 + (month - 1)
-    key_to_idx = {k: i for i, k in enumerate(keys)}
-    midx = np.array([key_to_idx[k] for k in keys_daily])
-    adjusted = daily + adjustments[:, midx]
+    out: dict[str, HomogResult] = {}
+    for e in elems:
+        monthly, keys, _, _ = per_elem[e]
+        keys_daily = year * 12 + (month - 1)
+        key_to_idx = {k: i for i, k in enumerate(keys)}
+        midx = np.array([key_to_idx[k] for k in keys_daily])
+        r = results[e]
+        out[e] = HomogResult(
+            adjusted_daily=dailies[e] + r.adjustments[:, midx],
+            adjustments=r.adjustments,
+            breakpoints=r.breakpoints,
+            monthly=monthly,
+        )
+    return out
 
-    return HomogResult(
-        adjusted_daily=adjusted,
-        adjustments=adjustments,
-        breakpoints=breakpoints,
-        monthly=monthly,
-    )
+
+def homogenize_network(
+    daily: np.ndarray,
+    year: np.ndarray,
+    month: np.ndarray,
+    stn_lon: np.ndarray,
+    stn_lat: np.ndarray,
+    **kwargs,
+) -> HomogResult:
+    """Single-element homogenization (see homogenize_elements)."""
+    return homogenize_elements(
+        {"x": daily}, year, month, stn_lon, stn_lat, **kwargs
+    )["x"]
