@@ -24,21 +24,26 @@ def _inputs():
 def test_sharded_equals_single_device():
     params = InterpParams(k_neighbors=8)
     ti = _inputs()
-    single = interp_tile(ti, params)
+    single = jax.jit(lambda t: interp_tile(t, params))(ti)
 
     mesh = make_mesh(8)
     fn = sharded_interp_tile(mesh, params)
     sharded = fn(shard_tile_inputs(mesh, ti))
 
-    # Not bitwise: inside shard_map XLA vectorizes the trig differently
-    # (~3e-4 km distance rounding), which the kriging solve amplifies.
-    # Semantic equivalence = identical neighborhoods/flags, sub-0.1C values
-    # (measured max 0.066, RMS ~0.01 — inside the f32 kriging noise floor).
-    d_norm = np.abs(np.asarray(single.normal) - np.asarray(sharded.normal))
-    assert d_norm.max() < 0.15, d_norm.max()
-    assert np.sqrt((d_norm**2).mean()) < 0.02
-    d_daily = np.abs(np.asarray(single.daily) - np.asarray(sharded.daily))
-    assert d_daily.max() < 0.2
+    # BITWISE equality. Round 1 carried a 0.15 C max-abs allowance blamed
+    # on shard_map trig vectorization; round-2 root-causing showed the
+    # 0.066 C divergence came entirely from comparing against an EAGER
+    # single-device reference (per-op evaluation reassociates the solve
+    # chain differently than the fused jit program). Compiled-vs-compiled,
+    # distances, neighborhoods, solves and dailies are all bit-identical
+    # under sharding — verified across seeds {3,7,11} x k {8,16} x
+    # shared_validity {on,off} on the 8-device mesh.
+    for field in ("normal", "se", "daily", "vario"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(single, field)),
+            np.asarray(getattr(sharded, field)),
+            err_msg=field,
+        )
     np.testing.assert_array_equal(np.asarray(single.ok), np.asarray(sharded.ok))
 
 
