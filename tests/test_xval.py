@@ -78,5 +78,26 @@ def test_optimize_nnghs_returns_sane_choice(world):
     )
     assert set(out["best"]) == {0, 1}
     assert all(k in (8, 16, 32) for k in out["best"].values())
-    # MAE table populated for every candidate
-    assert set(out["mae"]) == {8, 16, 32}
+
+
+def test_optimize_nnghs_anoms_sweeps_daily_protocol(world):
+    # The reference tunes the anomaly (GWR daily) neighborhood size with a
+    # separate job from the normals one (SURVEY §2.16); the anomaly sweep
+    # must score the DAILY protocol and respect ka <= k_neighbors.
+    from topotpu.interp.xval import optimize_nnghs_anoms
+
+    days = get_days_metadata("2015-01-01", "2015-12-31")
+    out = optimize_nnghs_anoms(
+        world.stn_lon, world.stn_lat, world.stn_elev, world.stn_tdi,
+        world.stn_lst, world.stn_norm, _vario(world),
+        np.ones((world.n_stations, 12), bool),
+        world.stn_anoms.astype(np.float32), days.month_idx,
+        candidates=(8, 16),
+        region_labels=(world.stn_lat > world.stn_lat.mean()).astype(int),
+        base_params=InterpParams(k_neighbors=16),
+    )
+    assert set(out["best"]) == {0, 1}
+    assert all(k in (8, 16) for k in out["best"].values())
+    assert all(v < 2.0 for v in out["mae"].values())
+    # different ka really changes the daily fit
+    assert out["mae"][8] != out["mae"][16]

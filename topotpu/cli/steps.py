@@ -403,9 +403,10 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
     bands stand in for climate divisions."""
     import h5py
 
-    from topotpu.interp.xval import optimize_nnghs
+    from topotpu.interp.xval import optimize_nnghs, optimize_nnghs_anoms
 
     p = _paths(cfg)
+    days = _days(cfg)
     with StationDB(p["serial_tmin"]) as db:
         vario = np.stack(
             [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
@@ -424,11 +425,24 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
             regions = reg_grid[rows, cols].astype(int)
         else:
             regions = (lat // 5.0).astype(int)
+        valid = np.repeat(~bad[:, None], 12, 1)
         out = optimize_nnghs(
             db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
-            db.stn(C.LST), db.stn(C.NORM), vario,
-            np.repeat(~bad[:, None], 12, 1),
+            db.stn(C.LST), db.stn(C.NORM), vario, valid,
             candidates=candidates,
+            region_labels=regions,
+            base_params=cfg.interp,
+        )
+        # anomaly (GWR daily) neighborhood size: its own sweep against the
+        # daily LOO protocol, normals k fixed — the reference's separate
+        # mpi_optim_nstns_anoms job (SURVEY §2.16)
+        norms = db.stn(C.NORM)
+        anoms = (db.obs(C.TMIN) - norms[:, days.month_idx]).astype(np.float32)
+        out_a = optimize_nnghs_anoms(
+            db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
+            db.stn(C.LST), norms, vario, valid, anoms, days.month_idx,
+            candidates=tuple(k for k in candidates
+                             if k <= cfg.interp.k_neighbors),
             region_labels=regions,
             base_params=cfg.interp,
         )
@@ -436,6 +450,12 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
         "best_k_by_region": {str(k): v for k, v in out["best"].items()},
         "global_mae_by_k": {
             str(k): float(v.mean()) for k, v in out["mae"].items()
+        },
+        "best_k_anom_by_region": {
+            str(k): v for k, v in out_a["best"].items()
+        },
+        "global_daily_mae_by_k_anom": {
+            str(k): float(v) for k, v in out_a["mae"].items()
         },
     }
 

@@ -156,12 +156,21 @@ def xval_interp_daily(
             weight_kernel=params.weight_kernel, ridge=params.ridge,
             jitter_frac=params.chol_jitter, min_neighbors=params.min_neighbors,
         )
-        nca = jnp.stack([take(elev), take(sx), take(sy)], axis=-1)
+        # anomaly neighborhood: a free distance-sorted prefix of the
+        # normals one (the reference tunes the two sizes independently —
+        # mpi_optim_nstns_norms vs _anoms, SURVEY §2.16 — so the daily
+        # protocol must honor k_neighbors_anom to make that sweep real)
+        ka = min(params.k_neighbors_anom, params.k_neighbors)
+        idx_a, dist_a, mask_a = (
+            nbr.idx[:, :ka], nbr.dist[:, :ka], nbr.mask[:, :ka]
+        )
+        take_a = lambda a: jnp.take(a, idx_a, axis=0)  # noqa: E731
+        nca = jnp.stack([take_a(elev), take_a(sx), take_a(sy)], axis=-1)
         cca = jnp.stack([elev, sx, sy], axis=-1)
-        g = anomaly_gain_rows(nbr.dist, nbr.mask, nca, cca,
+        g = anomaly_gain_rows(dist_a, mask_a, nca, cca,
                               weight_kernel=params.weight_kernel,
                               ridge=params.ridge)
-        anom_pred = predict_daily_gathered(g, nbr.idx, nbr.mask, Y_m)
+        anom_pred = predict_daily_gathered(g, idx_a, mask_a, Y_m)
         return res.normal[:, None] + anom_pred  # (S, dpm)
 
     pred_g = np.zeros((S, 12, layout.dpm), np.float32)
@@ -247,3 +256,47 @@ def optimize_nnghs(
         }
         best[int(r)] = min(scores, key=scores.get)
     return {"best": best, "mae": mae_by_k, "per_station_err": err_by_k}
+
+
+def optimize_nnghs_anoms(
+    stn_lon, stn_lat, stn_elev, stn_tdi, stn_lst, stn_norm, stn_vario,
+    stn_valid, stn_anoms, month_idx,
+    candidates=(8, 16, 24, 32),
+    region_labels: np.ndarray | None = None,
+    base_params: InterpParams | None = None,
+) -> dict:
+    """Sweep the ANOMALY (GWR daily) neighborhood size via daily LOO x-val,
+    holding the normals k fixed — the reference tunes the two sizes with
+    separate jobs (mpi_optim_nstns_norms vs mpi_optim_nstns_anoms,
+    SURVEY §2.16). Per-region argmin of per-station daily MAE.
+
+    Returns {"best": {region: ka}, "mae": {ka: float},
+    "per_station_mae": {ka: (S,)}}.
+    """
+    base = base_params or InterpParams()
+    if region_labels is None:
+        region_labels = np.zeros(len(stn_lon), int)
+    regions = np.unique(region_labels)
+
+    mae_by_k = {}
+    stn_mae_by_k = {}
+    for ka in candidates:
+        # gains use a prefix of the normals neighborhood, so ka > k would
+        # silently clamp — make the sweep honest about the usable range
+        ka_eff = min(int(ka), base.k_neighbors)
+        p = dataclasses.replace(base, k_neighbors_anom=ka_eff)
+        sc = xval_interp_daily(
+            stn_lon, stn_lat, stn_elev, stn_tdi, stn_lst, stn_norm,
+            stn_vario, stn_valid, stn_anoms, month_idx, p,
+        )
+        mae_by_k[int(ka)] = sc["mae"]
+        stn_mae_by_k[int(ka)] = sc["per_station_mae"]
+
+    best = {}
+    for r in regions:
+        in_r = region_labels == r
+        scores = {
+            k: float(stn_mae_by_k[k][in_r].mean()) for k in stn_mae_by_k
+        }
+        best[int(r)] = min(scores, key=scores.get)
+    return {"best": best, "mae": mae_by_k, "per_station_mae": stn_mae_by_k}
