@@ -75,3 +75,40 @@ def test_fused_kernel_other_k_sizes(rng):
             np.asarray(got.normal), np.asarray(ref.normal),
             rtol=1e-4, atol=2e-3,
         )
+
+
+def test_interp_points_facade(rng):
+    # The reference's PtInterpTair interpolated arbitrary points; the
+    # facade must reproduce station values when asked to predict AT
+    # station sites (nearest neighbor is the site itself at distance ~0).
+    from topotpu.dist.engine import StationSet
+    from topotpu.interp.point import interp_points, ungroup_days
+
+    world = make_world(rng, nrows=24, ncols=24, n_stations=40, ndays=31)
+    days = get_days_metadata("2015-01-01", "2015-01-31")
+    nug, ps, rg = world.true_vario
+    stations = StationSet(
+        lon=world.stn_lon, lat=world.stn_lat, elev=world.stn_elev,
+        tdi=world.stn_tdi, lst=world.stn_lst, norm=world.stn_norm,
+        vario=np.tile(np.array([nug, ps, rg], np.float32),
+                      (world.n_stations, 12, 1)),
+        valid=np.ones((world.n_stations, 12), bool),
+        anoms=world.stn_anoms.astype(np.float32),
+    )
+    pts = slice(0, 16)
+    res, layout = interp_points(
+        world.stn_lon[pts], world.stn_lat[pts], world.stn_elev[pts],
+        world.stn_tdi[pts], world.stn_lst[pts], stations, days,
+        InterpParams(k_neighbors=8),
+    )
+    normal = np.asarray(res.normal)          # (12, 16)
+    assert np.asarray(res.ok).all()
+    # at a station site the kriged normal should be close to the station's
+    d = np.abs(normal.T - world.stn_norm[pts])
+    assert d.mean() < 0.2, d.mean()
+    # calendar-ordered dailies recoverable and month-mean ~ January normal
+    daily = ungroup_days(
+        np.asarray(res.daily).transpose(1, 0, 2), layout
+    )  # (16, 31)
+    assert daily.shape == (16, 31)
+    assert np.abs(daily.mean(axis=1) - normal[0]).mean() < 1.0

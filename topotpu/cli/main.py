@@ -54,6 +54,23 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", plat)
 
+    # Persistent compile cache: without it every pipeline stage pays its
+    # first-compile cost in every fresh process (measured: a single
+    # (4000, 12) masked_correlation jit = ~30 s of remote compile on the
+    # tunneled-TPU container; several minutes across a full run). Honors
+    # JAX's own env var when set; defaults to a per-user cache dir.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import pathlib
+
+        import jax
+
+        cache = os.environ.get(
+            "TOPOTPU_COMPILE_CACHE",
+            str(pathlib.Path.home() / ".cache" / "topotpu-jax"),
+        )
+        pathlib.Path(cache).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+
     ap = argparse.ArgumentParser(prog="topotpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("stage", choices=[

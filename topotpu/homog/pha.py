@@ -150,7 +150,12 @@ def monthly_means(daily: np.ndarray, year: np.ndarray, month: np.ndarray,
 
 
 def _pair_diffs(
-    daily: np.ndarray, year: np.ndarray, month: np.ndarray, n_pairs: int
+    daily: np.ndarray,
+    year: np.ndarray,
+    month: np.ndarray,
+    n_pairs: int,
+    stn_lon: np.ndarray | None = None,
+    stn_lat: np.ndarray | None = None,
 ):
     """Monthly climatology anomalies and target-minus-neighbor difference
     series against the n_pairs most-correlated neighbors."""
@@ -169,12 +174,17 @@ def _pair_diffs(
         clim[:, m] = np.where(n > 0, s / np.maximum(n, 1), np.nan)
     anom = monthly - clim[:, cal_month]
 
-    # pair selection: most-correlated neighbors on monthly anomalies
-    from topotpu.infill.pipeline import masked_correlation
+    # pair selection: most-correlated neighbors on monthly anomalies.
+    # select_predictors runs grams + top-k on device and returns only the
+    # (S, n_pairs) index matrix (a host-side (S, S) correlation costs tens
+    # of seconds at production S on this host). Overlap requirement is 30
+    # *months* here (30 days upstream) — fine for multi-decade series, and
+    # the distance fallback covers short ones.
+    from topotpu.infill.pipeline import select_predictors
 
-    corr = masked_correlation(anom, np.isfinite(anom))
-    # overlap requirement inside masked_correlation is 30 *days*; fine for months
-    order = np.argsort(-np.abs(corr), axis=1)[:, :n_pairs]
+    order = select_predictors(
+        anom, np.isfinite(anom), n_pairs, stn_lon, stn_lat
+    )
 
     diffs = np.full((S, n_pairs, M), np.nan, np.float32)
     for s in range(S):
@@ -301,7 +311,9 @@ def homogenize_elements(
 
     per_elem: dict[str, tuple] = {}
     for e in elems:
-        monthly, keys, diffs = _pair_diffs(dailies[e], year, month, n_pairs)
+        monthly, keys, diffs = _pair_diffs(
+            dailies[e], year, month, n_pairs, stn_lon, stn_lat
+        )
         M = monthly.shape[1]
         breaks, _ = detect_breaks(
             diffs.reshape(S * n_pairs, M), minseg, max_breaks

@@ -15,6 +15,7 @@ predictor selection done once on-device via a masked correlation matrix.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -86,22 +87,92 @@ def select_predictors(
     (< 30 jointly-observed days), slots fall back to *nearest* stations when
     coordinates are given — otherwise such a target would get arbitrary
     predictors and unusable imputations (observed: 8 C MAE on a 95%-missing
-    station before this fallback)."""
-    corr = masked_correlation(obs, mask)
-    score = np.abs(corr)
-    if stn_lon is not None:
-        from topotpu.oracle.numpy_ref import haversine_km
+    station before this fallback).
 
-        d = haversine_km(
-            stn_lon[:, None], stn_lat[:, None], stn_lon[None, :], stn_lat[None, :]
-        )
-        np.fill_diagonal(d, np.inf)
-        # proximity as a strictly-weaker tiebreak: any real correlation wins
-        # over any pure-distance candidate
+    Size-dependent backend: below ~2e11 gram FLOPs (e.g. 4000 stations x
+    a year) the whole selection runs in host BLAS — a device round trip
+    would be dominated by remote jit compile on the tunneled container
+    (~200 s per fresh process, uncacheable: the compile happens relay-side).
+    Above the cutoff (production 1e4 stations x 25k days = ~1.5e13 FLOPs,
+    hours on this 1-core host) it is ONE device program that returns only
+    the (S, n) index matrix — the (S, S) correlation never crosses the
+    device->host link."""
+    mu = np.nanmean(np.where(mask, obs, np.nan), axis=1)
+    sd = np.nanstd(np.where(mask, obs, np.nan), axis=1) + 1e-6
+    xs = np.where(mask, (obs - mu[:, None]) / sd[:, None], 0.0).astype(np.float32)
+    S, T = xs.shape
+
+    if 6.0 * S * S * T < 2e11:
+        m = mask.astype(np.float32)
+        n = m @ m.T
+        sx = xs @ m.T
+        sxy = xs @ xs.T
+        sxx = (xs * xs) @ m.T
+        safe_n = np.maximum(n, 1.0)
+        cov = sxy / safe_n - (sx / safe_n) * (sx.T / safe_n)
+        vx = np.maximum(sxx / safe_n - (sx / safe_n) ** 2, 1e-12)
+        score = np.abs(np.where(n < 30, 0.0, cov / np.sqrt(vx * vx.T)))
+        if stn_lon is not None:
+            from topotpu.oracle.numpy_ref import haversine_km
+
+            d = haversine_km(
+                stn_lon[:, None], stn_lat[:, None],
+                stn_lon[None, :], stn_lat[None, :],
+            )
+            # proximity as a strictly-weaker tiebreak: any real
+            # correlation wins over any pure-distance candidate
+            prox = 1e-4 / (1.0 + d)
+            score = np.where(score > 0, score + 1.0, prox)
+        np.fill_diagonal(score, -1.0)  # never select self
+        part = np.argpartition(-score, n_neighbors, axis=1)[:, :n_neighbors]
+        rows = np.arange(S)[:, None]
+        order = np.argsort(-score[rows, part], axis=1, kind="stable")
+        return part[rows, order].astype(np.int32)
+
+    if stn_lon is None:
+        # degenerate coords: the distance tiebreak never beats a real
+        # correlation, so zeros only affect the sparse-overlap fallback
+        lon = np.zeros(len(obs), np.float32)
+        lat = np.zeros(len(obs), np.float32)
+    else:
+        lon = np.asarray(stn_lon, np.float32)
+        lat = np.asarray(stn_lat, np.float32)
+    idx = _device_select_predictors(
+        xs, mask.astype(np.float32), lon, lat, bool(stn_lon is not None),
+        int(n_neighbors),
+    )
+    return np.asarray(idx, np.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _device_select_predictors(xs, m, lon, lat, use_dist, n_neighbors):
+    import jax.numpy as jnp
+
+    S = xs.shape[0]
+    n = m @ m.T
+    sx = xs @ m.T
+    sy = sx.T
+    sxy = xs @ xs.T
+    sxx = (xs * xs) @ m.T
+    syy = sxx.T
+    safe_n = jnp.maximum(n, 1.0)
+    cov = sxy / safe_n - (sx / safe_n) * (sy / safe_n)
+    vx = jnp.maximum(sxx / safe_n - (sx / safe_n) ** 2, 1e-12)
+    vy = jnp.maximum(syy / safe_n - (sy / safe_n) ** 2, 1e-12)
+    corr = cov * jax.lax.rsqrt(vx * vy)
+    score = jnp.abs(jnp.where(n < 30, 0.0, corr))
+    if use_dist:
+        from topotpu.geo.distance import pairwise_great_circle_km
+
+        d = pairwise_great_circle_km(lon, lat, lon, lat)
+        # proximity as a strictly-weaker tiebreak: any real correlation
+        # wins over any pure-distance candidate
         prox = 1e-4 / (1.0 + d)
-        score = np.where(score > 0, score + 1.0, prox)
-    order = np.argsort(-score, axis=1)
-    return order[:, :n_neighbors].astype(np.int32)
+        score = jnp.where(score > 0, score + 1.0, prox)
+    eye = jnp.eye(S, dtype=bool)
+    score = jnp.where(eye, -1.0, score)  # never select self
+    _, idx = jax.lax.top_k(score, n_neighbors)
+    return idx.astype(jnp.int32)
 
 
 def infill_network(

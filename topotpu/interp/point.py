@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -505,6 +506,67 @@ def interp_tile_pair_flat(
     return FlatTileResult(
         buf=jnp.concatenate([buf_a, buf_b], axis=0),
         scales=jnp.concatenate([sc_a, sc_b]),
+    )
+
+
+def interp_points(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    elev: np.ndarray,
+    tdi: np.ndarray,
+    lst: np.ndarray,
+    stations,
+    days,
+    params: InterpParams | None = None,
+):
+    """Interpolate arbitrary points (not a grid tile) — the reference's
+    point-wise ``PtInterpTair`` usage (SURVEY §2.14: interpolate to a
+    station site or any lon/lat), as a thin facade over the batched tile
+    step: the N points ARE the tile's cell batch.
+
+    lon/lat/elev/tdi: (N,); lst: (N, 12) monthly land-surface temperature
+    at the points; ``stations``: a ``topotpu.dist.engine.StationSet``;
+    ``days``: DaysMetadata for the daily span.
+
+    Returns ``(TileResult, MonthLayout)`` — dailies are month-grouped
+    (12, N, dpm); recover calendar order with
+    ``ungroup_days(result.daily.transpose(1, 0, 2), layout)``.
+    """
+    params = params or InterpParams()
+    layout = month_layout(days)
+    anoms = group_days_by_month(
+        np.asarray(stations.anoms, np.float32), layout
+    )
+    dt = np.float32
+    N = len(lon)
+    ti = TileInputs(
+        cell_lon=jnp.asarray(lon, dt),
+        cell_lat=jnp.asarray(lat, dt),
+        cell_elev=jnp.asarray(elev, dt),
+        cell_tdi=jnp.asarray(tdi, dt),
+        cell_lst=jnp.asarray(lst, dt),
+        cell_mask=jnp.ones(N, bool),
+        stn_lon=jnp.asarray(stations.lon, dt),
+        stn_lat=jnp.asarray(stations.lat, dt),
+        stn_elev=jnp.asarray(stations.elev, dt),
+        stn_tdi=jnp.asarray(stations.tdi, dt),
+        stn_lst=jnp.asarray(stations.lst, dt),
+        stn_norm=jnp.asarray(stations.norm, dt),
+        stn_vario=jnp.asarray(stations.vario, dt),
+        stn_valid=jnp.asarray(stations.valid),
+        stn_anoms=jnp.asarray(np.moveaxis(anoms, 1, 0), dt),
+    )
+    shared = bool(np.all(np.asarray(stations.valid)
+                         == np.asarray(stations.valid)[:, :1]))
+    return _points_fn(params, shared)(ti), layout
+
+
+@functools.lru_cache(maxsize=8)
+def _points_fn(params: InterpParams, shared: bool):
+    # one compiled program per (params, shared) so repeated interp_points
+    # calls hit the jit cache (InterpParams is a frozen dataclass)
+    return jax.jit(
+        lambda t: interp_tile(t, params, shared_validity=shared)
     )
 
 

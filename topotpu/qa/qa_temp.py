@@ -355,8 +355,12 @@ def run_qa_spatial(
         resid = anom[sl] - est
 
         diffs = np.abs(anom[sl, None, :] - nb_anom)   # (s, n, T)
+        # min over neighbors with NaN->inf: an all-NaN neighbor column is
+        # "not corroborated" (same semantics as nanmin's NaN, without its
+        # all-NaN RuntimeWarning)
+        min_diff = np.min(np.where(np.isnan(diffs), np.inf, diffs), axis=1)
         with np.errstate(invalid="ignore"):
-            corroborated = np.nanmin(diffs, axis=1) <= SPATIAL_CORROB_THRESHOLD
+            corroborated = min_diff <= SPATIAL_CORROB_THRESHOLD
             bad = (np.abs(resid) > SPATIAL_RESID_THRESHOLD) & ~corroborated
         fsl = flags[sl]
         _flag(fsl, np.nan_to_num(bad.astype(float)).astype(bool),
