@@ -184,3 +184,4 @@ def test_fused_normals_k48_padded_to_56(rng):
     np.testing.assert_allclose(
         np.asarray(got_g), np.asarray(ref_g), rtol=1e-4, atol=1e-5
     )
+

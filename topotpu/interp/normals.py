@@ -99,6 +99,20 @@ def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
     )
 
 
+def _result_from_rows(out, row0):
+    var = out[row0 + 1]
+    return NormalsResult(
+        normal=out[row0 + 0],
+        variance=var,
+        se=jnp.sqrt(jnp.maximum(var, 0.0)),
+        trend=out[row0 + 3],
+        ok=out[row0 + 2] > 0.5,
+        vario=jnp.stack(
+            [out[row0 + 4], out[row0 + 5], out[row0 + 6]], axis=-1
+        ),
+    )
+
+
 def _krig_normals_fused(
     dist, mask, nbr_xyz, nbr_cov, cell_cov, nbr_norm, nbr_vario,
     ridge, jitter_frac, min_neighbors,
@@ -109,7 +123,10 @@ def _krig_normals_fused(
     gain rows) in one kernel, no intermediate HBM tensors.
 
     Returns (NormalsResult, gains (C, k) or None)."""
-    from topotpu.kernels.pallas_krig import krig_normals_fused, padded_kernel_k
+    from topotpu.kernels.pallas_krig import (
+        krig_normals_fused,
+        padded_kernel_k,
+    )
 
     C_cells, k = dist.shape
     k_eff = padded_kernel_k(k)
@@ -159,23 +176,16 @@ def _krig_normals_fused(
         mask_t = mask.T.astype(jnp.float32)
         norm_t = nbr_norm.T
 
+    # forcing use_pallas="on" off-TPU runs the interpreter (tests only)
+    interpret = jax.default_backend() != "tpu"
     out = krig_normals_fused(
         xyz3k, dist_t, mask_t, covs, cell8, norm_t, vario, acovs,
         ridge=ridge, jitter_frac=jitter_frac, min_neighbors=min_neighbors,
         weight_kernel=weight_kernel,
-        # forcing use_pallas="on" off-TPU runs the interpreter (tests only)
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )
     out = out[:, :C_cells]
-    var = out[1]
-    res = NormalsResult(
-        normal=out[0],
-        variance=var,
-        se=jnp.sqrt(jnp.maximum(var, 0.0)),
-        trend=out[3],
-        ok=out[2] > 0.5,
-        vario=jnp.stack([out[4], out[5], out[6]], axis=-1),
-    )
+    res = _result_from_rows(out, 0)
     gains = out[8 : 8 + k].T if want_gains else None  # drop padded rows
     return res, gains
 

@@ -246,7 +246,9 @@ def _interp_tile_multi(
         if ka == k_req:
             # same neighborhoods: var 0's normals + the (variable-shared)
             # gains come from ONE fused kernel; extra variables pay only a
-            # normals solve on the same gathered geometry
+            # normals solve on the same gathered geometry. (A two-variable
+            # fused kernel was measured at ~1% end-to-end and rejected —
+            # see the note in kernels/pallas_krig.py.)
             nbr_cov_anom = jnp.stack(
                 [take(inputs.stn_elev), take(stn_x), take(stn_y)], axis=-1
             )

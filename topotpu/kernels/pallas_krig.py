@@ -63,20 +63,11 @@ def _krig_kernel_xyz(xyz_ref, d0_ref, m_ref, nug_ref, ps_ref, rg_ref, out_ref,
     the XLA-side construction of the big tensor had become the bottleneck
     after the solve was fused.
     """
-    d2 = None
-    for c in range(3):
-        v = xyz_ref[c * k : (c + 1) * k, :]            # (k, lanes)
-        diff = v[:, None, :] - v[None, :, :]           # (k, k, lanes)
-        d2 = diff * diff if d2 is None else d2 + diff * diff
-    half = jnp.clip(0.5 * jnp.sqrt(d2), 0.0, 1.0)
-    # asin has no Pallas TPU lowering; odd Taylor series is exact to <1e-6
-    # relative for half-chord < 0.2 (~2500 km window). Beyond that the
-    # covariance exp(-d/rng) is ~0, so residual series error is inert.
-    h2 = half * half
-    asin_h = half * (
-        1.0 + h2 * (1.0 / 6.0 + h2 * (3.0 / 40.0 + h2 * (15.0 / 336.0)))
-    )
-    dp = 2.0 * EARTH_RADIUS_KM * asin_h
+    # asin has no Pallas TPU lowering; _pair_dists' odd Taylor series is
+    # exact to <1e-6 relative for half-chord < 0.2 (~2500 km window).
+    # Beyond that the covariance exp(-d/rng) is ~0, so residual series
+    # error is inert.
+    dp = _pair_dists(xyz_ref, k)
     _solve_body(dp, d0_ref, m_ref, nug_ref, ps_ref, rg_ref,
                 out_ref, Cs, y0, y1, LT, k=k, lanes=lanes,
                 jitter_frac=jitter_frac, min_neighbors=min_neighbors)
@@ -278,6 +269,39 @@ def _solve_spd_small(A, b, p):
     return x
 
 
+def _pair_dists(xyz_ref, k):
+    """In-kernel pair distances from (3k, lanes) unit-sphere xyz rows
+    (Taylor-asin chord form; see _krig_kernel_xyz for the validity note)."""
+    d2 = None
+    for c in range(3):
+        v = xyz_ref[c * k : (c + 1) * k, :]
+        diff = v[:, None, :] - v[None, :, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    half = jnp.clip(0.5 * jnp.sqrt(d2), 0.0, 1.0)
+    h2 = half * half
+    asin_h = half * (
+        1.0 + h2 * (1.0 / 6.0 + h2 * (3.0 / 40.0 + h2 * (15.0 / 336.0)))
+    )
+    return 2.0 * EARTH_RADIUS_KM * asin_h
+
+
+def _weight_rows(d, m, weight_kernel):
+    """Distance weights (geo.neighbors.distance_weights); the kernel choice
+    is a STATIC arg, so each variant traces branch-free code."""
+    bw = jnp.maximum(jnp.max(jnp.where(m > 0.0, d, 0.0), axis=0), 1e-3)
+    if weight_kernel == "bisquare":
+        r = jnp.minimum(d / bw[None, :], 1.0)
+        w = jnp.maximum((1.0 - r * r) ** 2, 1e-4) * m
+    elif weight_kernel == "gaussian":
+        rb = d / bw[None, :]
+        w = jnp.exp(-0.5 * rb * rb) * m
+    elif weight_kernel == "uniform":
+        w = m
+    else:
+        raise ValueError(f"unknown weight kernel {weight_kernel!r}")
+    return w, jnp.sum(w, axis=0) + 1e-30
+
+
 def _wls_design(cov_ref, cell_ref, cell_row0, w, wsum, m, k, q):
     """Centered scaled design columns (kernels.wls.center_design)."""
     dn = [jnp.ones_like(m)]
@@ -316,28 +340,33 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
     formula-for-formula (parity-tested)."""
     m = m_ref[:, :]                              # (k, lanes)
     d = dist_ref[:, :]
-    # --- distance weights (geo.neighbors.distance_weights); the kernel
-    # choice is a STATIC arg, so each variant traces branch-free code ---
-    bw = jnp.maximum(jnp.max(jnp.where(m > 0.0, d, 0.0), axis=0), 1e-3)
-    if weight_kernel == "bisquare":
-        r = jnp.minimum(d / bw[None, :], 1.0)
-        w = jnp.maximum((1.0 - r * r) ** 2, 1e-4) * m
-    elif weight_kernel == "gaussian":
-        rb = d / bw[None, :]
-        w = jnp.exp(-0.5 * rb * rb) * m
-    elif weight_kernel == "uniform":
-        w = m
-    else:
-        raise ValueError(f"unknown weight kernel {weight_kernel!r}")
-    wsum = jnp.sum(w, axis=0) + 1e-30
+    w, wsum = _weight_rows(d, m, weight_kernel)
 
-    # --- centered scaled design (kernels.wls.center_design) ---
+    # --- centered scaled design + normal equations (geometry-only) ---
     p = q + 1
     X = _wls_design(cov_ref, cell_ref, 0, w, wsum, m, k, q)
-
-    # --- WLS normal equations (kernels.wls.batched_wls) ---
     A = _wls_normal_eq(X, w, ridge, p)
-    norm = norm_ref[:, :]
+
+    # --- pair distances from xyz (geometry-only) ---
+    dp = _pair_dists(xyz_ref, k)
+
+    _var_chain(norm_ref[:, :], vario_ref, out_ref, 0, m, d, w, wsum, X, A,
+               dp, Cs, y0, y1, LT, k=k, p=p, lanes=lanes,
+               jitter_frac=jitter_frac, min_neighbors=min_neighbors)
+
+    # --- anomaly GWR gain rows (kernels.wls.batched_gwr_gain) -------------
+    # same neighborhoods/weights, anomaly covariates; x0 = e0 after
+    # centering so the gain needs A^-1 e0 only.
+    _gain_rows(acov_ref, cell_ref, out_ref, 8, w, wsum, m, k, q, qa, ridge)
+
+
+def _var_chain(norm, vario_ref, out_ref, row0, m, d, w, wsum, X, A, dp,
+               Cs, y0, y1, LT, *, k, p, lanes, jitter_frac, min_neighbors):
+    """Per-VARIABLE tail of the normals chain: WLS trend fit (shared
+    normal-equations matrix A, variable-specific RHS), variogram-parameter
+    interpolation, covariance assembly + Cholesky kriging solve + OK
+    reduction. Writes 8 output rows starting at ``row0``. The scratch
+    (Cs/y0/y1/LT) is safely reused across sequential calls."""
     b = [jnp.sum(w * X[i] * norm, axis=0) for i in range(p)]
     beta = _solve_spd_small(A, b, p)
 
@@ -360,19 +389,6 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
     rg = jnp.maximum(rg, 1e-3)
     sill = nug + ps
 
-    # --- pair distances from xyz + kriging solve ---
-    d2 = None
-    for c in range(3):
-        v = xyz_ref[c * k : (c + 1) * k, :]
-        diff = v[:, None, :] - v[None, :, :]
-        d2 = diff * diff if d2 is None else d2 + diff * diff
-    half = jnp.clip(0.5 * jnp.sqrt(d2), 0.0, 1.0)
-    h2 = half * half
-    asin_h = half * (
-        1.0 + h2 * (1.0 / 6.0 + h2 * (3.0 / 40.0 + h2 * (15.0 / 336.0)))
-    )
-    dp = 2.0 * EARTH_RADIUS_KM * asin_h
-
     Cs[:, :, :] = _assemble_C(dp, m, nug, ps, rg, jitter_frac, k)
     c0 = ps[None, :] * jnp.exp(-d / rg[None, :]) * m
     y0[:, :] = c0
@@ -381,18 +397,17 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
     lam, var_k, ok = _ok_reduce(y0, y1, c0, m, sill, min_neighbors)
 
     normal = trend + jnp.sum(lam * resid, axis=0)
-    out_ref[0, :] = normal
-    out_ref[1, :] = var_k
-    out_ref[2, :] = ok.astype(jnp.float32)
-    out_ref[3, :] = trend
-    out_ref[4, :] = nug
-    out_ref[5, :] = ps
-    out_ref[6, :] = rg
-    out_ref[7, :] = jnp.zeros((lanes,), jnp.float32)
+    out_ref[row0 + 0, :] = normal
+    out_ref[row0 + 1, :] = var_k
+    out_ref[row0 + 2, :] = ok.astype(jnp.float32)
+    out_ref[row0 + 3, :] = trend
+    out_ref[row0 + 4, :] = nug
+    out_ref[row0 + 5, :] = ps
+    out_ref[row0 + 6, :] = rg
+    out_ref[row0 + 7, :] = jnp.zeros((lanes,), jnp.float32)
 
-    # --- anomaly GWR gain rows (kernels.wls.batched_gwr_gain) -------------
-    # same neighborhoods/weights, anomaly covariates; x0 = e0 after
-    # centering so the gain needs A^-1 e0 only.
+
+def _gain_rows(acov_ref, cell_ref, out_ref, row0, w, wsum, m, k, q, qa, ridge):
     pa = qa + 1
     Xa = _wls_design(acov_ref, cell_ref, q, w, wsum, m, k, qa)
     Aa = _wls_normal_eq(Xa, w, ridge, pa)
@@ -401,7 +416,16 @@ def _normals_kernel(xyz_ref, dist_ref, m_ref, cov_ref, cell_ref, norm_ref,
     gx = v[0][None, :] * Xa[0]
     for i in range(1, pa):
         gx = gx + v[i][None, :] * Xa[i]
-    out_ref[8:, :] = w * gx
+    out_ref[row0:, :] = w * gx
+
+
+# A two-variable kernel (shared weights/design/pair-distances, two
+# _var_chain calls, rows [0:8)+[8:16)+gains) was built, parity-tested and
+# measured: 15.4 vs 16.5 ms/month steady-state against two single-variable
+# launches at 65k cells/k=32 — ~1% end-to-end, because the per-variable
+# Cholesky solve dominates and the shared geometry work is cheap. It also
+# doubled the Mosaic program size (one remote compile died OOM). Rejected;
+# the paired tile step composes the single-variable kernels instead.
 
 
 @functools.partial(
