@@ -85,3 +85,51 @@ def test_chunk_resume_is_per_chunk(tmp_path, setup):
     assert eng2.run_production("tmin", stations, years_per_chunk=4,
                                progress=False) == 1
     assert victim.exists()
+
+
+def test_chunked_pair_matches_chunked_sequential(tmp_path, setup):
+    """run_production_pair: both variables per chunked tile pass must match
+    independent chunked runs (within per-run int16 quantization) and reuse
+    the same chunk layout/resume structure."""
+    import dataclasses
+
+    world, days, rasters, a = setup
+    b = dataclasses.replace(
+        a, norm=a.norm + 9.0, anoms=(a.anoms * 0.85).astype(np.float32)
+    )
+    cfg = _config()
+
+    eng_p = TileEngine(cfg, rasters, days, tmp_path / "paired")
+    assert eng_p.run_production_pair(
+        "tmin", "tmax", a, b, years_per_chunk=4, progress=False
+    ) == 4  # 2 chunks x 1 tile x 2 vars
+
+    eng_s = TileEngine(cfg, rasters, days, tmp_path / "seq")
+    assert eng_s.run_production("tmin", a, years_per_chunk=4,
+                                progress=False) == 2
+    assert eng_s.run_production("tmax", b, years_per_chunk=4,
+                                progress=False) == 2
+
+    for var in ("tmin", "tmax"):
+        for span in ("2008_2011", "2012_2015"):
+            f_p = tmp_path / "paired" / f"chunk_{span}" / f"{var}_tile00000.h5"
+            f_s = tmp_path / "seq" / f"chunk_{span}" / f"{var}_tile00000.h5"
+            np.testing.assert_allclose(
+                np.nan_to_num(read_var(f_p, f"{var}_normal")),
+                np.nan_to_num(read_var(f_s, f"{var}_normal")),
+                atol=5e-3,
+            )
+            np.testing.assert_allclose(
+                np.nan_to_num(read_var(f_p, var)),
+                np.nan_to_num(read_var(f_s, var)),
+                atol=5e-3,
+            )
+
+    # per-chunk resume works for the paired driver too
+    victim = tmp_path / "paired" / "chunk_2008_2011" / "tmax_tile00000.h5"
+    victim.unlink()
+    eng_p2 = TileEngine(cfg, rasters, days, tmp_path / "paired")
+    assert eng_p2.run_production_pair(
+        "tmin", "tmax", a, b, years_per_chunk=4, progress=False
+    ) == 2  # one tile re-runs (both vars, idempotent)
+    assert victim.exists()
