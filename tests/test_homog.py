@@ -269,6 +269,21 @@ def test_homogenize_elements_joint_and_specific(daily_network):
     assert np.abs(res["tmin"].adjustments[9]).max() < 0.5
 
 
+def test_homogenize_tiny_network(rng):
+    # Networks with S <= n_pairs stations must not crash predictor
+    # selection (argpartition kth bound): n_pairs clamps to S-1.
+    S, T = 6, 1461  # 4 years daily
+    from topotpu.core.dates import get_days_metadata as gdm
+
+    days = gdm("2012-01-01", "2015-12-31")
+    daily = rng.normal(10, 3, size=(S, T)).astype(np.float32)
+    res = homogenize_network(
+        daily, days.year, days.month,
+        rng.uniform(-105, -104, S), rng.uniform(39, 40, S),
+    )
+    assert res.adjusted_daily.shape == daily.shape
+
+
 def test_monthly_means_sparse_guard(daily_network):
     world, days, daily = daily_network
     d = daily.copy()

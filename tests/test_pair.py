@@ -109,7 +109,7 @@ def test_engine_run_pair_matches_sequential(tmp_path, engine_setup):
     world, days, rasters, a, b = engine_setup
 
     eng_p = TileEngine(_config(), rasters, days, tmp_path / "paired")
-    assert eng_p.run_pair("tmin", "tmax", a, b, progress=False) == 8
+    assert eng_p.run_pair("tmin", "tmax", a, b, progress=False) == {"tmin": 4, "tmax": 4}
 
     eng_s = TileEngine(_config(), rasters, days, tmp_path / "seq")
     assert eng_s.run("tmin", a, progress=False) == 4
@@ -141,14 +141,14 @@ def test_engine_run_pair_resume(tmp_path, engine_setup):
     world, days, rasters, a, b = engine_setup
     out = tmp_path / "out"
     eng = TileEngine(_config(), rasters, days, out)
-    assert eng.run_pair("tmin", "tmax", a, b, progress=False) == 8
+    assert eng.run_pair("tmin", "tmax", a, b, progress=False) == {"tmin": 4, "tmax": 4}
     # fully done: nothing pending
     eng2 = TileEngine(_config(), rasters, days, out)
-    assert eng2.run_pair("tmin", "tmax", a, b, progress=False) == 0
+    assert eng2.run_pair("tmin", "tmax", a, b, progress=False) == {"tmin": 0, "tmax": 0}
     # one variable's tile missing -> that tile re-runs (both vars, idempotent)
     (out / "tmax_tile00002.h5").unlink()
     eng3 = TileEngine(_config(), rasters, days, out)
-    assert eng3.run_pair("tmin", "tmax", a, b, progress=False) == 2
+    assert eng3.run_pair("tmin", "tmax", a, b, progress=False) == {"tmin": 1, "tmax": 1}
     assert (out / "tmax_tile00002.h5").exists()
 
 
@@ -159,6 +159,6 @@ def test_engine_run_pair_falls_back_on_mismatched_networks(
     b2 = dataclasses.replace(b, lon=b.lon + 0.01)  # different geometry
     eng = TileEngine(_config(), rasters, days, tmp_path / "out")
     # falls back to two sequential runs; both variables still produced
-    assert eng.run_pair("tmin", "tmax", a, b2, progress=False) == 8
+    assert eng.run_pair("tmin", "tmax", a, b2, progress=False) == {"tmin": 4, "tmax": 4}
     assert (tmp_path / "out" / "tmin_tile00003.h5").exists()
     assert (tmp_path / "out" / "tmax_tile00003.h5").exists()

@@ -102,7 +102,7 @@ def test_chunked_pair_matches_chunked_sequential(tmp_path, setup):
     eng_p = TileEngine(cfg, rasters, days, tmp_path / "paired")
     assert eng_p.run_production_pair(
         "tmin", "tmax", a, b, years_per_chunk=4, progress=False
-    ) == 4  # 2 chunks x 1 tile x 2 vars
+    ) == {"tmin": 2, "tmax": 2}  # 2 chunks x 1 tile each
 
     eng_s = TileEngine(cfg, rasters, days, tmp_path / "seq")
     assert eng_s.run_production("tmin", a, years_per_chunk=4,
@@ -131,5 +131,5 @@ def test_chunked_pair_matches_chunked_sequential(tmp_path, setup):
     eng_p2 = TileEngine(cfg, rasters, days, tmp_path / "paired")
     assert eng_p2.run_production_pair(
         "tmin", "tmax", a, b, years_per_chunk=4, progress=False
-    ) == 2  # one tile re-runs (both vars, idempotent)
+    ) == {"tmin": 1, "tmax": 1}  # one tile re-runs (both vars, idempotent)
     assert victim.exists()

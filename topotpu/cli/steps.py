@@ -288,14 +288,12 @@ def step_interp(cfg: TopoConfig, chunk_years: int = 0, ctx=None) -> dict:
     sets = {v: _station_set(p[f"serial_{v}"], days) for v in (C.TMIN, C.TMAX)}
     # Both variables per tile in ONE device pass when the station sets share
     # geometry/validity (the standard pipeline); run_pair falls back to two
-    # sequential passes otherwise.
+    # sequential passes otherwise. Returns per-variable tile counts.
     if chunk_years:
-        n = eng.run_production_pair(
+        return eng.run_production_pair(
             C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX], chunk_years
         )
-    else:
-        n = eng.run_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX])
-    return {C.TMIN: n // 2, C.TMAX: n - n // 2}
+    return eng.run_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX])
 
 
 # -------------------------------------------------------- stage: validate
@@ -478,8 +476,11 @@ def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
         for t0 in range(0, dn.shape[0], time_chunk):
             a = dn[t0 : t0 + time_chunk]
             b = dx[t0 : t0 + time_chunk]
-            bad = np.isfinite(a) & np.isfinite(b) & (b < a)
-            n_total += int(np.isfinite(a).sum())
+            both = np.isfinite(a) & np.isfinite(b)
+            bad = both & (b < a)
+            # denominator = jointly-finite cells, matching step_validate's
+            # independent re-check so the two reported rates are comparable
+            n_total += int(both.sum())
             if bad.any():
                 n_viol += int(bad.sum())
                 worst = max(worst, float((a - b)[bad].max()))
@@ -565,10 +566,16 @@ def step_mosaic(cfg: TopoConfig) -> dict:
                 n += 1
             f.attrs["n_tiles"] = n
             f.attrs["cellsize"] = rasters.grid.cellsize
-        tmp.replace(dst)
         out[var] = n
+    # cross-variable reconciliation runs on the STILL-UNPUBLISHED tmp
+    # files, so the atomic tmp+rename invariant holds for the whole stage:
+    # a crash mid-reconcile leaves only tmps, never a half-reconciled
+    # published mosaic.
+    tmps = {v: p[f"mosaic_{v}"].with_suffix(".tmp") for v in (C.TMIN, C.TMAX)}
     if out.get(C.TMIN) and out.get(C.TMAX):
         out["crossvar"] = reconcile_cross_variable(
-            p[f"mosaic_{C.TMIN}"], p[f"mosaic_{C.TMAX}"]
+            tmps[C.TMIN], tmps[C.TMAX]
         )
+    for var in (C.TMIN, C.TMAX):
+        tmps[var].replace(p[f"mosaic_{var}"])
     return out

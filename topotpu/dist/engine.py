@@ -492,7 +492,7 @@ class TileEngine:
         stations_a: StationSet,
         stations_b: StationSet,
         progress: bool = True,
-    ) -> int:
+    ) -> dict:
         """Interpolate BOTH variables per tile in one device pass.
 
         The reference runs a full gridded pass per variable
@@ -501,11 +501,14 @@ class TileEngine:
         scatter, host prep and the single fetch RPC, paying only its
         kriging solve + matmul slice. Falls back to two sequential runs
         when the station sets differ or packed output is disabled.
-        Returns tiles completed (counting each variable)."""
+        Returns per-variable tile counts {var_a: n, var_b: n} (they can
+        differ on the fallback path when one variable resumes further
+        along than the other)."""
         if not (self._flat and self._pairable(stations_a, stations_b)):
-            return self.run(var_a, stations_a, progress) + self.run(
-                var_b, stations_b, progress
-            )
+            return {
+                var_a: self.run(var_a, stations_a, progress),
+                var_b: self.run(var_b, stations_b, progress),
+            }
         import jax.numpy as jnp
 
         shared = bool(
@@ -554,14 +557,14 @@ class TileEngine:
             )
             if inflight is not None:
                 self._write_tile_pair(inflight[0], var_a, var_b, inflight[1])
-                n_done += 2
+                n_done += 1
                 status.tick()
             inflight = (cur_spec, fut)
         if inflight is not None:
             self._write_tile_pair(inflight[0], var_a, var_b, inflight[1])
-            n_done += 2
+            n_done += 1
             status.tick()
-        return n_done
+        return {var_a: n_done, var_b: n_done}
 
     def run_production_pair(
         self,
@@ -571,11 +574,12 @@ class TileEngine:
         stations_b: StationSet,
         years_per_chunk: int = 4,
         progress: bool = True,
-    ) -> int:
+    ) -> dict:
         """Chunked multi-decade production for both variables at once; same
-        chunking/resume semantics as run_production."""
+        chunking/resume semantics as run_production. Returns per-variable
+        tile counts summed over chunks."""
         years = self.days.years
-        n_done = 0
+        n_done = {var_a: 0, var_b: 0}
         for c0 in range(0, len(years), years_per_chunk):
             span = years[c0 : c0 + years_per_chunk]
             d0 = max(np.datetime64(f"{span[0]}-01-01"), self.days.date64[0])
@@ -598,7 +602,7 @@ class TileEngine:
             if self._pair_fns is not None:
                 sub._pair_fns = self._pair_fns
                 sub._shard_pair = self._shard_pair
-            n_done += sub.run_pair(
+            chunk_done = sub.run_pair(
                 var_a,
                 var_b,
                 dataclasses.replace(
@@ -609,6 +613,8 @@ class TileEngine:
                 ),
                 progress=progress,
             )
+            for v, c in chunk_done.items():
+                n_done[v] += c
             if sub._pair_fns is not None:
                 self._pair_fns = sub._pair_fns
                 self._shard_pair = sub._shard_pair

@@ -307,6 +307,7 @@ def homogenize_elements(
     shift tmax only, and the step sizes differ even for joint moves)."""
     elems = list(dailies)
     S = dailies[elems[0]].shape[0]
+    n_pairs = min(n_pairs, S - 1)  # at most S-1 distinct neighbors
     need = max(quorum_min, int(np.ceil(quorum_frac * n_pairs)))
 
     per_elem: dict[str, tuple] = {}

@@ -101,6 +101,9 @@ def select_predictors(
     sd = np.nanstd(np.where(mask, obs, np.nan), axis=1) + 1e-6
     xs = np.where(mask, (obs - mu[:, None]) / sd[:, None], 0.0).astype(np.float32)
     S, T = xs.shape
+    # a station can have at most S-1 distinct predictors; tiny networks
+    # (tests, sparse regions) get the truncated matrix rather than a crash
+    n_neighbors = min(int(n_neighbors), S - 1)
 
     if 6.0 * S * S * T < 2e11:
         m = mask.astype(np.float32)
@@ -148,12 +151,18 @@ def select_predictors(
 def _device_select_predictors(xs, m, lon, lat, use_dist, n_neighbors):
     import jax.numpy as jnp
 
+    # grams at full f32 fidelity: the MXU default (bf16 inputs) perturbs
+    # near-tied correlations enough to flip top-k ranks, which would make
+    # the device path disagree with the host-BLAS path across the size
+    # cutoff (same rationale as interp/normals.py's HI pinning)
+    hi = jax.lax.Precision.HIGHEST
+    mm = functools.partial(jnp.matmul, precision=hi)
     S = xs.shape[0]
-    n = m @ m.T
-    sx = xs @ m.T
+    n = mm(m, m.T)
+    sx = mm(xs, m.T)
     sy = sx.T
-    sxy = xs @ xs.T
-    sxx = (xs * xs) @ m.T
+    sxy = mm(xs, xs.T)
+    sxx = mm(xs * xs, m.T)
     syy = sxx.T
     safe_n = jnp.maximum(n, 1.0)
     cov = sxy / safe_n - (sx / safe_n) * (sy / safe_n)
@@ -200,7 +209,7 @@ def infill_network(
     preds = select_predictors(obs, mask, params.n_neighbors, stn_lon, stn_lat)
     bad = mask.sum(axis=1) < min(min_obs_days, T // 2)
 
-    V = 1 + params.n_neighbors
+    V = 1 + preds.shape[1]  # select_predictors clamps to S-1 on tiny pools
     filled = np.array(obs0, copy=True)
     n_iters = np.zeros(S, np.int32)
 

@@ -408,26 +408,8 @@ def interp_tile(
         # shard_map out_specs) is identical in both modes
         return res
 
-    ok, daily = res.ok, res.daily
-    valid3 = ok[:, :, None]
-    big = jnp.float32(3.0e38)
-    mn = jnp.min(jnp.where(valid3, daily, big))
-    mx = jnp.max(jnp.where(valid3, daily, -big))
-    if mesh_axis is not None:
-        mn = jax.lax.pmin(mn, mesh_axis)
-        mx = jax.lax.pmax(mx, mesh_axis)
-    has_any = mx >= mn
-    mn = jnp.where(has_any, mn, 0.0)
-    mx = jnp.where(has_any, mx, 1.0)
-    scale = jnp.maximum(mx - mn, 1e-6) / 65500.0
-    offset = (mx + mn) / 2.0
-    q = jnp.round((daily - offset) / scale).astype(jnp.int16)
-    q = jnp.where(valid3, q, jnp.int16(PACK_SENTINEL))
-    return res._replace(
-        daily=q,
-        daily_scale=scale.astype(jnp.float32),
-        daily_offset=offset.astype(jnp.float32),
-    )
+    q, scale, offset = _quantize_plane(res.daily, res.ok[:, :, None], mesh_axis)
+    return res._replace(daily=q, daily_scale=scale, daily_offset=offset)
 
 
 def interp_tile_flat(

@@ -170,7 +170,10 @@ def _chol_and_two_solves(Cs, y0, y1, k, LT=None):
     over k (static) — every step is one VPU op over all lanes. Past
     LOOPED_K_THRESHOLD the fori_loop variant takes over (needs LT scratch)."""
     if k > LOOPED_K_THRESHOLD:
-        assert LT is not None, "k > 48 needs the LT scratch buffer"
+        assert LT is not None, (
+            f"k > LOOPED_K_THRESHOLD ({LOOPED_K_THRESHOLD}) needs the LT "
+            "scratch buffer"
+        )
         return _chol_and_two_solves_looped(Cs, LT, y0, y1, k)
     for j in range(k):
         dj = jnp.sqrt(jnp.maximum(Cs[j, j, :], 1e-20))
