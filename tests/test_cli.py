@@ -31,6 +31,27 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert by["validate"]["tmax"]["status"] == "ok"
     assert (tmp_path / "data" / "mosaic_tmin.h5").exists()
 
+    # packed tiles -> packed mosaic (int16, global scale); decode must
+    # match the tile values to within the coarser quantization step
+    import h5py
+    import numpy as np
+
+    from topotpu.io.ncdf import read_var
+
+    with h5py.File(tmp_path / "data" / "mosaic_tmin.h5") as f:
+        assert f["tmin"].dtype == np.int16
+        g_scale = float(f["tmin"].attrs["scale_factor"])
+    mosaic_daily = read_var(tmp_path / "data" / "mosaic_tmin.h5", "tmin")
+    tile_daily = read_var(
+        tmp_path / "data" / "tiles" / "tmin_tile00000.h5", "tmin"
+    )
+    fin = np.isfinite(tile_daily)
+    assert np.array_equal(fin, np.isfinite(mosaic_daily[:, :24, :24]))
+    assert (
+        np.abs(mosaic_daily[:, :24, :24] - tile_daily)[fin].max()
+        <= g_scale + 1e-6
+    )
+
     rc = main(["xval-interp", "--config", str(cfg_path)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])

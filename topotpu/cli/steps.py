@@ -314,11 +314,13 @@ def step_validate(cfg: TopoConfig) -> dict:
         if not path.exists():
             out[var] = {"status": "missing"}
             continue
+        from topotpu.io.ncdf import read_slice
+
         with h5py.File(path) as f:
             normal = f["normal"][...]
             se = f["se"][...]
-            d0 = f[var][0]
-            dm = f[var][f[var].shape[0] // 2]
+            d0 = read_slice(f[var], 0)
+            dm = read_slice(f[var], f[var].shape[0] // 2)
         cov_n = float(np.isfinite(normal[:, land]).mean())
         cov_se = float(np.isfinite(se[:, land]).mean())
         cov_d = float((np.isfinite(d0) & np.isfinite(dm))[land].mean())
@@ -333,15 +335,24 @@ def step_validate(cfg: TopoConfig) -> dict:
     # everywhere (mosaic reconciles; this is the independent re-check)
     pn, px = p[f"mosaic_{C.TMIN}"], p[f"mosaic_{C.TMAX}"]
     if pn.exists() and px.exists():
+        from topotpu.io.ncdf import read_slice
+
         n_viol = 0
         n_total = 0
         with h5py.File(pn) as fn, h5py.File(px) as fx:
             dn, dx = fn[C.TMIN], fx[C.TMAX]
+            # int16-packed mosaics quantize the two variables on different
+            # grids, so a reconciled midpoint can differ by up to half a
+            # step per side — tolerate exactly that
+            eps = sum(
+                0.5 * abs(float(d.attrs.get("scale_factor", 0.0)))
+                for d in (dn, dx) if d.dtype == np.int16
+            )
             for t0 in range(0, dn.shape[0], 64):
-                a = dn[t0 : t0 + 64]
-                b = dx[t0 : t0 + 64]
+                a = read_slice(dn, slice(t0, t0 + 64))
+                b = read_slice(dx, slice(t0, t0 + 64))
                 fin = np.isfinite(a) & np.isfinite(b)
-                n_viol += int((fin & (b < a)).sum())
+                n_viol += int((fin & (b < a - eps)).sum())
                 n_total += int(fin.sum())
         out["crossvar"] = {
             "violations": n_viol,
@@ -467,15 +478,40 @@ def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
     Streams over the time axis; returns violation statistics."""
     import h5py
 
+    from topotpu.io.ncdf import FILL_I16
+
+    def _codec(v):
+        """(decode, encode) for a dataset that may be int16-packed."""
+        if v.dtype != np.int16:
+            return (lambda raw: raw), (lambda vals, raw: vals)
+        s = float(v.attrs.get("scale_factor", 1.0))
+        o = float(v.attrs.get("add_offset", 0.0))
+
+        def dec(raw):
+            out = raw.astype(np.float32) * s + o
+            out[raw == FILL_I16] = np.nan
+            return out
+
+        def enc(vals, raw):
+            # nan_to_num first: NaNs (masked cells) are restored from raw
+            # below, but casting NaN to int16 raises a RuntimeWarning
+            q = np.round((np.nan_to_num(vals) - o) / s).astype(np.int16)
+            return np.where(raw == FILL_I16, raw, q)
+
+        return dec, enc
+
     n_viol = 0
     n_total = 0
     worst = 0.0
     with h5py.File(p_tmin, "r+") as fn, h5py.File(p_tmax, "r+") as fx:
         dn, dx = fn[C.TMIN], fx[C.TMAX]
         assert dn.shape == dx.shape
+        dec_n, enc_n = _codec(dn)
+        dec_x, enc_x = _codec(dx)
         for t0 in range(0, dn.shape[0], time_chunk):
-            a = dn[t0 : t0 + time_chunk]
-            b = dx[t0 : t0 + time_chunk]
+            raw_a = dn[t0 : t0 + time_chunk]
+            raw_b = dx[t0 : t0 + time_chunk]
+            a, b = dec_n(raw_a), dec_x(raw_b)
             both = np.isfinite(a) & np.isfinite(b)
             bad = both & (b < a)
             # denominator = jointly-finite cells, matching step_validate's
@@ -485,8 +521,12 @@ def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
                 n_viol += int(bad.sum())
                 worst = max(worst, float((a - b)[bad].max()))
                 mid = 0.5 * (a + b)
-                dn[t0 : t0 + time_chunk] = np.where(bad, mid, a)
-                dx[t0 : t0 + time_chunk] = np.where(bad, mid, b)
+                dn[t0 : t0 + time_chunk] = enc_n(
+                    np.where(bad, mid, a), raw_a
+                )
+                dx[t0 : t0 + time_chunk] = enc_x(
+                    np.where(bad, mid, b), raw_b
+                )
         fn.attrs["crossvar_violations"] = n_viol
         fx.attrs["crossvar_violations"] = n_viol
     return {
@@ -518,11 +558,56 @@ def step_mosaic(cfg: TopoConfig) -> dict:
     merge_manifests(p["tiles"])
     for chunk_dir in sorted(p["tiles"].glob("chunk_*_*")):
         merge_manifests(chunk_dir)
+    from topotpu.io.ncdf import FILL_I16
+
+    def _tile_pack_bounds(path, name):
+        """(lo, hi) decode bounds of a packed tile dataset, from attrs only
+        (no data read); None when the dataset is unpacked f32."""
+        with h5py.File(path, "r") as f:
+            v = f[name]
+            if v.dtype != np.int16:
+                return None
+            s = float(v.attrs.get("scale_factor", 1.0))
+            o = float(v.attrs.get("add_offset", 0.0))
+            return o - 32767 * abs(s), o + 32767 * abs(s)
+
     out = {}
     for var in (C.TMIN, C.TMAX):
         dst = p[f"mosaic_{var}"]
         tmp = dst.with_suffix(".tmp")
         R, Cc = rasters.grid.shape
+        # chunked layouts (run_production) have per-chunk subdirs whose
+        # time axes concatenate; unchunked tiles live in p["tiles"]
+        chunk_dirs = sorted(p["tiles"].glob("chunk_*_*"))
+
+        def tile_parts(ts):
+            name = f"{var}_tile{ts.tile_id:05d}.h5"
+            parts = (
+                [d / name for d in chunk_dirs]
+                if chunk_dirs else [p["tiles"] / name]
+            )
+            return parts if all(x.exists() for x in parts) else None
+
+        # When every tile carries int16-packed dailies (production default),
+        # the mosaic stays int16 too — a global scale/offset derived from
+        # the per-tile pack attrs (no data pass) halves mosaic write +
+        # downstream read bytes, and matches the packed distribution format
+        # of the reference's published netCDFs. Any unpacked tile falls the
+        # whole mosaic back to f32.
+        bounds = []
+        for ts in tiling.land_tiles(rasters.landmask):
+            parts = tile_parts(ts)
+            if parts is None:
+                continue
+            for part in parts:
+                bounds.append(_tile_pack_bounds(part, var))
+        pack = bool(bounds) and all(b is not None for b in bounds)
+        if pack:
+            lo = min(b[0] for b in bounds)
+            hi = max(b[1] for b in bounds)
+            g_scale = max(hi - lo, 1e-6) / 65500.0
+            g_off = 0.5 * (hi + lo)
+
         with h5py.File(tmp, "w") as f:
             normal = f.create_dataset("normal", (12, R, Cc), np.float32,
                                       fillvalue=np.nan)
@@ -532,37 +617,56 @@ def step_mosaic(cfg: TopoConfig) -> dict:
                 dict(compression="gzip", compression_opts=cfg.output_compress)
                 if cfg.output_compress else {}
             )
-            daily = f.create_dataset(
-                var, (days.ndays, R, Cc), np.float32, fillvalue=np.nan,
-                chunks=(min(32, days.ndays), cfg.tile_rows, cfg.tile_cols),
-                **copts,
-            )
-            # chunked layouts (run_production) have per-chunk subdirs whose
-            # time axes concatenate; unchunked tiles live in p["tiles"]
-            chunk_dirs = sorted(p["tiles"].glob("chunk_*_*"))
+            if pack:
+                daily = f.create_dataset(
+                    var, (days.ndays, R, Cc), np.int16, fillvalue=FILL_I16,
+                    chunks=(min(32, days.ndays), cfg.tile_rows, cfg.tile_cols),
+                    **copts,
+                )
+                daily.attrs["scale_factor"] = np.float32(g_scale)
+                daily.attrs["add_offset"] = np.float32(g_off)
+                daily.attrs["_FillValue"] = FILL_I16
+
+                def put(part, t0, sl):
+                    # requantize tile-grid int16 -> global-grid int16
+                    # directly (no f32 decode / NaN pass: the stage is
+                    # host-CPU-bound, not IO-bound, at production scale)
+                    with h5py.File(part, "r") as tf:
+                        v = tf[var]
+                        q_old = v[...]
+                        s_t = float(v.attrs.get("scale_factor", 1.0))
+                        o_t = float(v.attrs.get("add_offset", 0.0))
+                    q = np.rint(
+                        q_old.astype(np.float32) * (s_t / g_scale)
+                        + (o_t - g_off) / g_scale
+                    ).astype(np.int16)
+                    q[q_old == FILL_I16] = FILL_I16
+                    daily[t0 : t0 + q.shape[0], sl[0], sl[1]] = q
+                    return q.shape[0]
+            else:
+                daily = f.create_dataset(
+                    var, (days.ndays, R, Cc), np.float32, fillvalue=np.nan,
+                    chunks=(min(32, days.ndays), cfg.tile_rows, cfg.tile_cols),
+                    **copts,
+                )
+
+                def put(part, t0, sl):
+                    block = read_var(part, var)
+                    daily[t0 : t0 + block.shape[0], sl[0], sl[1]] = block
+                    return block.shape[0]
+
             n = 0
             for ts in tiling.land_tiles(rasters.landmask):
-                name = f"{var}_tile{ts.tile_id:05d}.h5"
+                parts = tile_parts(ts)
+                if parts is None:
+                    continue
                 sl = (slice(ts.row0, ts.row0 + ts.nrows),
                       slice(ts.col0, ts.col0 + ts.ncols))
-                if chunk_dirs:
-                    parts = [d / name for d in chunk_dirs]
-                    if not all(x.exists() for x in parts):
-                        continue  # a missing chunk would shift time offsets
-                    normal[(slice(None),) + sl] = read_var(parts[0], f"{var}_normal")
-                    se[(slice(None),) + sl] = read_var(parts[0], f"{var}_se")
-                    t0 = 0
-                    for part in parts:
-                        block = read_var(part, var)
-                        daily[t0 : t0 + block.shape[0], sl[0], sl[1]] = block
-                        t0 += block.shape[0]
-                else:
-                    tf = p["tiles"] / name
-                    if not tf.exists():
-                        continue
-                    normal[(slice(None),) + sl] = read_var(tf, f"{var}_normal")
-                    se[(slice(None),) + sl] = read_var(tf, f"{var}_se")
-                    daily[(slice(None),) + sl] = read_var(tf, var)
+                normal[(slice(None),) + sl] = read_var(parts[0], f"{var}_normal")
+                se[(slice(None),) + sl] = read_var(parts[0], f"{var}_se")
+                t0 = 0
+                for part in parts:
+                    t0 += put(part, t0, sl)
                 n += 1
             f.attrs["n_tiles"] = n
             f.attrs["cellsize"] = rasters.grid.cellsize

@@ -189,17 +189,23 @@ class TileWriter:
             self.tmp.unlink(missing_ok=True)
 
 
+def read_slice(dset, sl=Ellipsis) -> np.ndarray:
+    """Decode a slice of an OPEN h5py dataset (int16-packed or f32),
+    applying unpack + fill semantics — for streaming readers that must not
+    load the whole variable (validate / cross-variable reconcile)."""
+    data = dset[sl]
+    if data.dtype == np.int16:
+        scale = float(dset.attrs.get("scale_factor", 1.0))
+        offset = float(dset.attrs.get("add_offset", 0.0))
+        out = data.astype(np.float32) * scale + offset
+        out[data == FILL_I16] = np.nan
+        return out
+    out = data.astype(np.float32)
+    out[data == FILL_F32] = np.nan
+    return out
+
+
 def read_var(path, name: str) -> np.ndarray:
     """Read a variable back, applying unpack + fill semantics."""
     with h5py.File(path, "r") as f:
-        v = f[name]
-        data = v[...]
-        if data.dtype == np.int16:
-            scale = float(v.attrs.get("scale_factor", 1.0))
-            offset = float(v.attrs.get("add_offset", 0.0))
-            out = data.astype(np.float32) * scale + offset
-            out[data == FILL_I16] = np.nan
-            return out
-        out = data.astype(np.float32)
-        out[data == FILL_F32] = np.nan
-        return out
+        return read_slice(f[name])
