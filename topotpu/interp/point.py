@@ -183,6 +183,46 @@ def _interp_tile_multi(
     stn_x, stn_y = _local_xy_km(inputs.stn_lon, inputs.stn_lat, ref_lat)
     cell_x, cell_y = _local_xy_km(inputs.cell_lon, inputs.cell_lat, ref_lat)
 
+    # ONE station feature table, ONE neighborhood gather. XLA's TPU gather
+    # is pathologically slow for narrow rows (measured 21 ms for a single
+    # (C, k) take from (S,) at 65k cells — ~0.4 GB/s — vs 13 ms for a
+    # 108-column take): the 7 per-month scalar takes cost ~760 ms of a
+    # ~900 ms tile step. Packing every gathered field into (S, F) columns
+    # and taking once per distinct neighborhood turns that into ~15 ms.
+    # Layout: [elev, tdi, x_km, y_km, xyz(3), lst(12),
+    #          per-var: norm(12) + vario(12x3 month-major)].
+    f32 = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    table = jnp.concatenate(
+        [
+            f32(inputs.stn_elev)[:, None],
+            f32(inputs.stn_tdi)[:, None],
+            stn_x[:, None],
+            stn_y[:, None],
+            stn_xyz,
+            f32(inputs.stn_lst),
+        ]
+        + [
+            jnp.concatenate(
+                [f32(var.norm), f32(var.vario).reshape(S, 36)], axis=1
+            )
+            for var in all_vars
+        ],
+        axis=1,
+    )
+    _VBASE = 19  # columns before the per-variable blocks
+
+    def _cols(G):
+        """Column accessors over a gathered (C, k, F) table block."""
+        return dict(
+            elev=G[..., 0], tdi=G[..., 1], x=G[..., 2], y=G[..., 3],
+            xyz=G[..., 4:7],
+            lst=lambda m: G[..., 7 + m],
+            norm=lambda v, m: G[..., _VBASE + 48 * v + m],
+            vario=lambda v, m: G[
+                ..., _VBASE + 48 * v + 12 + 3 * m : _VBASE + 48 * v + 15 + 3 * m
+            ],
+        )
+
     # exact distance matrix hoisted across months (geometry is
     # month-invariant; per-month work is masked top_k only). A cheap-cosine
     # selection variant exists in select_neighbors but measured slower here:
@@ -200,6 +240,7 @@ def _interp_tile_multi(
     varios = [[] for _ in range(V)]
     gains_by_month = []
     nbr = None
+    cols = None
     for m in range(12):
         if nbr is None or not shared_validity:
             nbr = select_neighbors(
@@ -213,7 +254,7 @@ def _interp_tile_multi(
             )
             if trail_ok is not None:  # padded slots beyond the requested k
                 nbr = nbr._replace(mask=nbr.mask & trail_ok[None, :])
-        take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
+            cols = _cols(jnp.take(table, nbr.idx, axis=0))
 
         # Trend covariates: elev, tdi, lst_m only (SURVEY §2.12's design:
         # elevation + topographic index + monthly LST). Location enters via
@@ -222,12 +263,7 @@ def _interp_tile_multi(
         # and the kriging trend must match that convention or the residual
         # field the weights assume would not be the one being kriged.
         nbr_cov = jnp.stack(
-            [
-                take(inputs.stn_elev),
-                take(inputs.stn_tdi),
-                take(inputs.stn_lst[:, m]),
-            ],
-            axis=-1,
+            [cols["elev"], cols["tdi"], cols["lst"](m)], axis=-1
         )
         cell_cov = jnp.stack(
             [inputs.cell_elev, inputs.cell_tdi, inputs.cell_lst[:, m]],
@@ -250,11 +286,11 @@ def _interp_tile_multi(
             # fused kernel was measured at ~1% end-to-end and rejected —
             # see the note in kernels/pallas_krig.py.)
             nbr_cov_anom = jnp.stack(
-                [take(inputs.stn_elev), take(stn_x), take(stn_y)], axis=-1
+                [cols["elev"], cols["x"], cols["y"]], axis=-1
             )
             res, gains = krig_normals_and_gains(
-                nbr.dist, nbr.mask, take(stn_xyz), nbr_cov, cell_cov,
-                take(all_vars[0].norm[:, m]), take(all_vars[0].vario[:, m, :]),
+                nbr.dist, nbr.mask, cols["xyz"], nbr_cov, cell_cov,
+                cols["norm"](0, m), cols["vario"](0, m),
                 nbr_cov_anom, cell_cov_anom,
                 weight_kernel=params.weight_kernel, ridge=params.ridge,
                 jitter_frac=params.chol_jitter,
@@ -269,9 +305,8 @@ def _interp_tile_multi(
                 idx=nbr.idx[:, :ka], dist=nbr.dist[:, :ka],
                 mask=nbr.mask[:, :ka],
             )
-            take_a = lambda a: jnp.take(a, nbr_a.idx, axis=0)  # noqa: E731
             nbr_cov_anom = jnp.stack(
-                [take_a(inputs.stn_elev), take_a(stn_x), take_a(stn_y)],
+                [cols["elev"][:, :ka], cols["x"][:, :ka], cols["y"][:, :ka]],
                 axis=-1,
             )
             gains = anomaly_gain_rows(
@@ -282,11 +317,11 @@ def _interp_tile_multi(
                 weight_kernel=params.weight_kernel,
                 ridge=params.ridge,
             )
-        for var in all_vars[len(results_m):]:
+        for v in range(len(results_m), V):
             results_m.append(
                 krig_normals(
-                    nbr.dist, nbr.mask, take(stn_xyz), nbr_cov, cell_cov,
-                    take(var.norm[:, m]), take(var.vario[:, m, :]),
+                    nbr.dist, nbr.mask, cols["xyz"], nbr_cov, cell_cov,
+                    cols["norm"](v, m), cols["vario"](v, m),
                     weight_kernel=params.weight_kernel, ridge=params.ridge,
                     jitter_frac=params.chol_jitter,
                     min_neighbors=params.min_neighbors,
