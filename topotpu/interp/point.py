@@ -239,6 +239,11 @@ def _interp_tile_multi(
     oks = [[] for _ in range(V)]
     varios = [[] for _ in range(V)]
     gains_by_month = []
+    ka = min(params.k_neighbors_anom, k_req)
+    cell_cov_anom = jnp.stack(
+        [inputs.cell_elev, cell_x, cell_y], axis=-1
+    )
+
     nbr = None
     cols = None
     for m in range(12):
@@ -275,10 +280,6 @@ def _interp_tile_multi(
         # (mpi_optim_nstns_norms vs _anoms, SURVEY §2.16); top_k output is
         # distance-sorted, so the anomaly neighborhood is a free prefix
         # slice of the normals one.
-        ka = min(params.k_neighbors_anom, k_req)
-        cell_cov_anom = jnp.stack(
-            [inputs.cell_elev, cell_x, cell_y], axis=-1
-        )
         if ka == k_req:
             # same neighborhoods: var 0's normals + the (variable-shared)
             # gains come from ONE fused kernel; extra variables pay only a
@@ -335,6 +336,19 @@ def _interp_tile_multi(
             varios[v].append(res_v.vario)
         gains_by_month.append((gains, nbr_a))
 
+    return _finish_tile_multi(
+        inputs, all_vars, params, shared_validity, normals, ses, oks,
+        varios, gains_by_month, C, S, dtype,
+    )
+
+
+def _finish_tile_multi(
+    inputs, all_vars, params, shared_validity, normals, ses, oks, varios,
+    gains_by_month, C, S, dtype,
+):
+    """Daily-anomaly application + per-variable TileResult assembly (the
+    tail shared by the year-batched and per-month normals paths)."""
+    V = len(all_vars)
     # ---- daily anomalies -------------------------------------------------
     dpm = inputs.stn_anoms.shape[-1]
     from topotpu.kernels.pallas_scatter import CELLS_BLOCK

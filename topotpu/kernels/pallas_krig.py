@@ -422,13 +422,19 @@ def _gain_rows(acov_ref, cell_ref, out_ref, row0, w, wsum, m, k, q, qa, ridge):
     out_ref[row0:, :] = w * gx
 
 
-# A two-variable kernel (shared weights/design/pair-distances, two
-# _var_chain calls, rows [0:8)+[8:16)+gains) was built, parity-tested and
-# measured: 15.4 vs 16.5 ms/month steady-state against two single-variable
-# launches at 65k cells/k=32 — ~1% end-to-end, because the per-variable
-# Cholesky solve dominates and the shared geometry work is cheap. It also
-# doubled the Mosaic program size (one remote compile died OOM). Rejected;
-# the paired tile step composes the single-variable kernels instead.
+# Two launch-structure variants were built, parity-tested, measured and
+# REJECTED — recorded so they are not retried blind:
+# 1. A two-variable kernel BODY (shared weights/design/pair-distances,
+#    two _var_chain calls per program): ~1% end-to-end — the per-variable
+#    Cholesky solve dominates and the shared geometry work is cheap —
+#    while doubling the Mosaic program size (one remote compile died OOM).
+# 2. A year-batched launch (ONE pallas_call whose grid covered every
+#    (month, variable) via month-aware BlockSpec index maps): ~3% SLOWER
+#    (824k vs 850k var-cells/s) — the ~2.6 ms fixed cost seen when timing
+#    separate jit calls is per PROGRAM dispatch over the tunnel, not per
+#    pallas_call inside a program, so there was no launch overhead to
+#    save, and the month-stacked input materialization added traffic.
+# The composition of per-(month, variable) single-variable kernels stays.
 
 
 @functools.partial(
