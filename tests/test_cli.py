@@ -47,8 +47,15 @@ def test_cli_full_pipeline(tmp_path, capsys):
     )
     fin = np.isfinite(tile_daily)
     assert np.array_equal(fin, np.isfinite(mosaic_daily[:, :24, :24]))
+    # exclude cells the cross-variable reconcile may have midpoint-shifted
+    # in the mosaic (tile files keep the original values)
+    tile_tmax = read_var(
+        tmp_path / "data" / "tiles" / "tmax_tile00000.h5", "tmax"
+    )
+    crossing = np.nan_to_num(tile_tmax - tile_daily, nan=1.0) < 0
+    cmp = fin & ~crossing
     assert (
-        np.abs(mosaic_daily[:, :24, :24] - tile_daily)[fin].max()
+        np.abs(mosaic_daily[:, :24, :24] - tile_daily)[cmp].max()
         <= g_scale + 1e-6
     )
 
@@ -88,6 +95,58 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert out["stage"] == "validate-f64"
     assert out["result"]["tmin"]["within_parity_bar"] is True
     assert out["result"]["tmax"]["within_parity_bar"] is True
+
+
+def test_reconcile_cross_variable_packed(tmp_path):
+    """int16-packed mosaics: midpoints outside a variable's representable
+    pack range must CLIP (an unclipped cast wraps, and the first overflow
+    step is the fill sentinel); sub-quantization-step crossings must be
+    tolerated, not 'fixed'."""
+    import h5py
+    import numpy as np
+
+    from topotpu.cli.steps import reconcile_cross_variable
+    from topotpu.io.ncdf import FILL_I16, read_var
+
+    rng = np.random.default_rng(7)
+    tmin = np.clip(
+        rng.normal(0, 1, (32, 4, 4)), -5, 5
+    ).astype(np.float32)
+    tmax = tmin + 2.0
+    # a crossing whose midpoint (10.0) exceeds tmax's packed range below
+    tmin[3, 1, 1], tmax[3, 1, 1] = 16.0, 4.0
+
+    def write(path, name, data, lo, hi):
+        scale = (hi - lo) / 65500.0
+        off = 0.5 * (hi + lo)
+        q = np.round((data - off) / scale).astype(np.int16)
+        with h5py.File(path, "w") as f:
+            v = f.create_dataset(name, data=q)
+            v.attrs["scale_factor"] = np.float32(scale)
+            v.attrs["add_offset"] = np.float32(off)
+            v.attrs["_FillValue"] = FILL_I16
+        return scale
+
+    pn = tmp_path / "mosaic_tmin.h5"
+    px = tmp_path / "mosaic_tmax.h5"
+    s_n = write(pn, "tmin", tmin, -20.0, 20.0)
+    s_x = write(px, "tmax", tmax, -8.0, 8.0)  # midpoint 10 > range top
+
+    res = reconcile_cross_variable(pn, px, time_chunk=8)
+    assert res["violations"] == 1
+    a = read_var(pn, "tmin")
+    b = read_var(px, "tmax")
+    # clipped to tmax's representable ceiling — finite, NOT wrapped to NaN
+    # or a huge negative
+    assert np.isfinite(b[3, 1, 1]) and abs(b[3, 1, 1] - 8.0) < 0.01
+    assert abs(a[3, 1, 1] - 10.0) < 0.01  # tmin side reaches the midpoint
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # every other cell untouched beyond decode quantization — no cell was
+    # "fixed" for a sub-eps packing artifact
+    keep = np.ones(a.shape, bool)
+    keep[3, 1, 1] = False
+    np.testing.assert_allclose(a[keep], tmin[keep], atol=2 * s_n)
+    np.testing.assert_allclose(b[keep], tmax[keep], atol=2 * s_x)
 
 
 def test_reconcile_cross_variable(tmp_path):

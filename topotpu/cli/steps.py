@@ -478,27 +478,28 @@ def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
     Streams over the time axis; returns violation statistics."""
     import h5py
 
-    from topotpu.io.ncdf import FILL_I16
+    from topotpu.io.ncdf import FILL_I16, decode_array
 
-    def _codec(v):
-        """(decode, encode) for a dataset that may be int16-packed."""
+    def _encoder(v):
+        """int16 encoder for a packed dataset (decode = io.ncdf.read_slice);
+        identity for f32. Returns (encode, half_quantization_step)."""
         if v.dtype != np.int16:
-            return (lambda raw: raw), (lambda vals, raw: vals)
+            return (lambda vals, raw: vals), 0.0
         s = float(v.attrs.get("scale_factor", 1.0))
         o = float(v.attrs.get("add_offset", 0.0))
 
-        def dec(raw):
-            out = raw.astype(np.float32) * s + o
-            out[raw == FILL_I16] = np.nan
-            return out
-
         def enc(vals, raw):
             # nan_to_num first: NaNs (masked cells) are restored from raw
-            # below, but casting NaN to int16 raises a RuntimeWarning
-            q = np.round((np.nan_to_num(vals) - o) / s).astype(np.int16)
+            # below, but casting NaN to int16 raises a RuntimeWarning.
+            # clip: a midpoint can exceed this variable's representable
+            # range by up to half the other variable's span; an unclipped
+            # cast wraps — and the first overflow step IS FILL_I16.
+            q = np.clip(
+                np.round((np.nan_to_num(vals) - o) / s), -32767, 32767
+            ).astype(np.int16)
             return np.where(raw == FILL_I16, raw, q)
 
-        return dec, enc
+        return enc, 0.5 * abs(s)
 
     n_viol = 0
     n_total = 0
@@ -506,14 +507,20 @@ def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
     with h5py.File(p_tmin, "r+") as fn, h5py.File(p_tmax, "r+") as fx:
         dn, dx = fn[C.TMIN], fx[C.TMAX]
         assert dn.shape == dx.shape
-        dec_n, enc_n = _codec(dn)
-        dec_x, enc_x = _codec(dx)
+        enc_n, half_n = _encoder(dn)
+        enc_x, half_x = _encoder(dx)
+        # quantization tolerance: packed variables sit on different int16
+        # grids, so decoded tmax can read up to a step below tmin on a
+        # physically-consistent cell — do not count or "fix" those
+        # (keeps this rate comparable to step_validate's eps-tolerant one)
+        eps = half_n + half_x
         for t0 in range(0, dn.shape[0], time_chunk):
             raw_a = dn[t0 : t0 + time_chunk]
             raw_b = dx[t0 : t0 + time_chunk]
-            a, b = dec_n(raw_a), dec_x(raw_b)
+            a = decode_array(raw_a, dn)
+            b = decode_array(raw_b, dx)
             both = np.isfinite(a) & np.isfinite(b)
-            bad = both & (b < a)
+            bad = both & (b < a - eps)
             # denominator = jointly-finite cells, matching step_validate's
             # independent re-check so the two reported rates are comparable
             n_total += int(both.sum())

@@ -346,8 +346,10 @@ def _finish_tile_multi(
     inputs, all_vars, params, shared_validity, normals, ses, oks, varios,
     gains_by_month, C, S, dtype,
 ):
-    """Daily-anomaly application + per-variable TileResult assembly (the
-    tail shared by the year-batched and per-month normals paths)."""
+    """Daily-anomaly application + per-variable TileResult assembly — the
+    tail of _interp_tile_multi, split out to keep the month loop readable
+    (a second, year-batched caller was tried and rejected; see
+    kernels/pallas_krig.py)."""
     V = len(all_vars)
     # ---- daily anomalies -------------------------------------------------
     dpm = inputs.stn_anoms.shape[-1]

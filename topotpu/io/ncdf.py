@@ -189,11 +189,10 @@ class TileWriter:
             self.tmp.unlink(missing_ok=True)
 
 
-def read_slice(dset, sl=Ellipsis) -> np.ndarray:
-    """Decode a slice of an OPEN h5py dataset (int16-packed or f32),
-    applying unpack + fill semantics — for streaming readers that must not
-    load the whole variable (validate / cross-variable reconcile)."""
-    data = dset[sl]
+def decode_array(data: np.ndarray, dset) -> np.ndarray:
+    """Unpack raw values already read from ``dset`` (int16-packed or f32),
+    applying scale/offset + fill semantics — for readers that keep the raw
+    block around (e.g. to re-encode in place)."""
     if data.dtype == np.int16:
         scale = float(dset.attrs.get("scale_factor", 1.0))
         offset = float(dset.attrs.get("add_offset", 0.0))
@@ -203,6 +202,13 @@ def read_slice(dset, sl=Ellipsis) -> np.ndarray:
     out = data.astype(np.float32)
     out[data == FILL_F32] = np.nan
     return out
+
+
+def read_slice(dset, sl=Ellipsis) -> np.ndarray:
+    """Decode a slice of an OPEN h5py dataset (int16-packed or f32),
+    applying unpack + fill semantics — for streaming readers that must not
+    load the whole variable (validate / cross-variable reconcile)."""
+    return decode_array(dset[sl], dset)
 
 
 def read_var(path, name: str) -> np.ndarray:
