@@ -65,6 +65,13 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert out["stage"] == "xval-interp"
     assert out["result"]["mae_mean"] < 1.5
 
+    rc = main(["xval-daily", "--config", str(cfg_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["stage"] == "xval-daily"
+    assert out["result"]["mae"] < 2.5
+    assert out["result"]["rmse"] >= out["result"]["mae"]
+
     rc = main(["optim-nnghs", "--config", str(cfg_path)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
