@@ -285,19 +285,34 @@ def _interp_tile_multi(
             # gains come from ONE fused kernel; extra variables pay only a
             # normals solve on the same gathered geometry. (A two-variable
             # fused kernel was measured at ~1% end-to-end and rejected —
-            # see the note in kernels/pallas_krig.py.)
-            nbr_cov_anom = jnp.stack(
-                [cols["elev"], cols["x"], cols["y"]], axis=-1
-            )
-            res, gains = krig_normals_and_gains(
-                nbr.dist, nbr.mask, cols["xyz"], nbr_cov, cell_cov,
-                cols["norm"](0, m), cols["vario"](0, m),
-                nbr_cov_anom, cell_cov_anom,
-                weight_kernel=params.weight_kernel, ridge=params.ridge,
-                jitter_frac=params.chol_jitter,
-                min_neighbors=params.min_neighbors,
-                use_pallas=params.use_pallas,
-            )
+            # see the note in kernels/pallas_krig.py.) Gains are
+            # geometry-only, so with month-invariant neighborhoods only
+            # month 0 computes them; later months reuse and skip the
+            # in-kernel gain solve (~25% of the fused call).
+            if m == 0 or not shared_validity:
+                nbr_cov_anom = jnp.stack(
+                    [cols["elev"], cols["x"], cols["y"]], axis=-1
+                )
+                res, gains = krig_normals_and_gains(
+                    nbr.dist, nbr.mask, cols["xyz"], nbr_cov, cell_cov,
+                    cols["norm"](0, m), cols["vario"](0, m),
+                    nbr_cov_anom, cell_cov_anom,
+                    weight_kernel=params.weight_kernel, ridge=params.ridge,
+                    jitter_frac=params.chol_jitter,
+                    min_neighbors=params.min_neighbors,
+                    use_pallas=params.use_pallas,
+                )
+                gains0 = gains
+            else:
+                res = krig_normals(
+                    nbr.dist, nbr.mask, cols["xyz"], nbr_cov, cell_cov,
+                    cols["norm"](0, m), cols["vario"](0, m),
+                    weight_kernel=params.weight_kernel, ridge=params.ridge,
+                    jitter_frac=params.chol_jitter,
+                    min_neighbors=params.min_neighbors,
+                    use_pallas=params.use_pallas,
+                )
+                gains = gains0
             results_m = [res]
             nbr_a = nbr
         else:
