@@ -15,8 +15,8 @@ runs the production-shaped PAIRED step (tmin+tmax sharing neighborhoods /
 gains / scatter, interp.point.interp_tile_pair) and reports
 2 * cells / step-time. ``vs_baseline`` is that single-chip rate divided by
 the per-chip north-star rate, so vs_baseline >= 1.0 means the target is
-met. (Measured solo-variable rate for comparison: ~103.5k cells/s; the
-paired step is ~1.30x per variable-cell.)
+met. (Round-2 ladder: 103.5k solo-variable -> 134.5k paired -> ~850k with
+the single-table neighborhood gather; see RESULTS.md.)
 """
 
 import json
