@@ -107,9 +107,16 @@ def _quantize_plane(x, valid, mesh_axis):
     return q, scale.astype(jnp.float32), offset.astype(jnp.float32)
 
 
-def _local_xy_km(lon, lat, ref_lat_deg: float):
-    """Equirectangular local offsets in km — GWR locational covariates."""
-    kx = 111.32 * np.cos(np.deg2rad(ref_lat_deg))
+def _local_xy_km(lon, lat, ref_lat_deg):
+    """Equirectangular local offsets in km — GWR locational covariates.
+
+    ``ref_lat_deg`` may be a traced scalar (derived from the data) or a
+    plain float. The centered+scaled GWR design is analytically invariant
+    to the x scale up to the tiny ridge term (scaling a column by c cancels
+    through the per-column weighted-std normalization), so this constant
+    only has to be *reasonable*, not exact — but deriving it keeps
+    non-CONUS domains free of a silently CONUS-specific number."""
+    kx = 111.32 * jnp.cos(jnp.deg2rad(ref_lat_deg))
     ky = 111.32
     return lon * kx, lat * ky
 
@@ -179,7 +186,12 @@ def _interp_tile_multi(
         trail_ok = None
 
     stn_xyz = unit_xyz(inputs.stn_lon, inputs.stn_lat)  # (S, 3)
-    ref_lat = 38.0  # CONUS mid-latitude; only scales the locational covariates
+    # x-offset scale reference latitude: the station pool's mean latitude.
+    # Stations are REPLICATED across shards (cells are the sharded axis), so
+    # this mean is computed identically on every shard — shard-invariant and
+    # collective-free, unlike a mean over (sharded) cell latitudes. Padded
+    # pool slots repeat real stations, so the mean stays inside the domain.
+    ref_lat = jnp.mean(inputs.stn_lat)
     stn_x, stn_y = _local_xy_km(inputs.stn_lon, inputs.stn_lat, ref_lat)
     cell_x, cell_y = _local_xy_km(inputs.cell_lon, inputs.cell_lat, ref_lat)
 

@@ -137,7 +137,9 @@ def xval_interp_daily(
     anoms_g = group_days_by_month(stn_anoms.astype(np.float32), layout)
     anoms_g = jnp.asarray(np.moveaxis(anoms_g, 1, 0))  # (12, S, dpm)
 
-    kx = 111.32 * np.cos(np.deg2rad(38.0))
+    # x-offset scale from the network's mean latitude (matches the tile
+    # path's pool-mean derivation in interp/point.py; was hard-coded 38.0)
+    kx = 111.32 * np.cos(np.deg2rad(float(np.mean(np.asarray(stn_lat)))))
     sx = lon * kx
     sy = lat * 111.32
 

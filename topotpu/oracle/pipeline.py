@@ -107,9 +107,12 @@ def interp_tile_oracle(world, cells_rc, k, stn_vario, month_of_day):
     C = len(rows)
     ndays = world.stn_anoms.shape[1]
 
-    stn_x = world.stn_lon * 111.32 * np.cos(np.deg2rad(38.0))
+    # x scale from the network's mean latitude (the device path derives the
+    # same reference from its station pool; see interp/point.py)
+    kx = 111.32 * np.cos(np.deg2rad(float(world.stn_lat.mean())))
+    stn_x = world.stn_lon * kx
     stn_y = world.stn_lat * 111.32
-    cell_x = lon * 111.32 * np.cos(np.deg2rad(38.0))
+    cell_x = lon * kx
     cell_y = lat * 111.32
 
     normal = np.zeros((12, C))
