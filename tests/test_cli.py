@@ -76,7 +76,11 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["stage"] == "optim-nnghs"
-    assert out["result"]["best_k_by_region"]
+    # per-variable sweeps: each variable optimized against its OWN serial
+    # DB (the reference ran mpi_optim_nstns_* once per variable)
+    for v in ("tmin", "tmax"):
+        assert out["result"][v]["best_k_by_region"]
+        assert out["result"][v]["best_k_anom_by_region"]
 
     # region-raster input: quadrant labels on the run grid -> per-region k
     import h5py
@@ -93,8 +97,9 @@ def test_cli_full_pipeline(tmp_path, capsys):
                "--regions", str(reg_path)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
-    got = set(out["result"]["best_k_by_region"])
+    got = set(out["result"]["tmin"]["best_k_by_region"])
     assert got <= {"0", "1", "2", "3"} and len(got) >= 2
+    assert set(out["result"]["tmax"]["best_k_by_region"]) == got
 
     rc = main(["validate-f64", "--config", str(cfg_path)])
     assert rc == 0
@@ -102,6 +107,24 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert out["stage"] == "validate-f64"
     assert out["result"]["tmin"]["within_parity_bar"] is True
     assert out["result"]["tmax"]["within_parity_bar"] is True
+
+    # full daily-coverage scan: a hole punched at an arbitrary day (NOT day
+    # 0 or the midpoint the old sampled check looked at) must flip validate
+    # to incomplete (runs last: it corrupts the tmin mosaic)
+    from topotpu.cli.steps import step_validate
+    from topotpu.io.ncdf import FILL_I16
+
+    with h5py.File(tmp_path / "data" / "mosaic_tmin.h5", "r+") as f:
+        d = f["tmin"]
+        day = 17
+        assert day not in (0, d.shape[0] // 2)
+        sl = d[day]
+        sl[sl != FILL_I16] = FILL_I16  # hole every land cell on one day
+        d[day] = sl
+    val = step_validate(TopoConfig.load(cfg_path))
+    assert val["tmin"]["status"] == "incomplete"
+    assert val["tmin"]["daily_coverage"] < 0.01
+    assert val["tmax"]["status"] == "ok"
 
 
 def test_reconcile_cross_variable_packed(tmp_path):

@@ -146,8 +146,12 @@ def step_qa(cfg: TopoConfig, spatial: bool = True) -> dict:
 # ----------------------------------------------------------- stage: homog
 
 
-def step_homog(cfg: TopoConfig) -> dict:
-    from topotpu.homog import homogenize_elements
+def step_homog(cfg: TopoConfig, station_history_path: str | None = None) -> dict:
+    """``station_history_path``: optional documented-change metadata file
+    ('STN_ID YYYY-MM' lines — homog.parse_station_history), the role of
+    PHA v52i's station-history input: detection/confirmation relax near
+    documented dates (Menne-Williams metadata windows)."""
+    from topotpu.homog import homogenize_elements, parse_station_history
 
     p = _paths(cfg)
     days = _days(cfg)
@@ -155,6 +159,12 @@ def step_homog(cfg: TopoConfig) -> dict:
     with StationDB(p["all_obs"]) as db:
         lon, lat = db.stn(C.LON), db.stn(C.LAT)
         attrs = {k: db.stn(k) for k in db._f["stn"].keys()}
+        history = None
+        if station_history_path:
+            history = parse_station_history(
+                pathlib.Path(station_history_path).read_text(),
+                db.stn(C.STN_ID),
+            )
         out = StationDB.create(p["homog"], attrs, days.date64)
         obs_by_var = {}
         for var in (C.TMIN, C.TMAX):
@@ -168,7 +178,8 @@ def step_homog(cfg: TopoConfig) -> dict:
         # joint homogenization: tmin/tmax breaks corroborate each other
         # (multi-element confirmation), detection + adjustment per element
         results = homogenize_elements(
-            obs_by_var, days.year, days.month, lon, lat
+            obs_by_var, days.year, days.month, lon, lat,
+            station_history=history,
         )
         for var, res in results.items():
             out.set_obs(var, res.adjusted_daily)
@@ -319,11 +330,18 @@ def step_validate(cfg: TopoConfig) -> dict:
         with h5py.File(path) as f:
             normal = f["normal"][...]
             se = f["se"][...]
-            d0 = read_slice(f[var], 0)
-            dm = read_slice(f[var], f[var].shape[0] // 2)
+            # stream EVERY time slice (same pattern as the cross-variable
+            # loop below): a cell counts as covered only when its entire
+            # daily series is finite — sampling day 0 + midpoint let a hole
+            # anywhere else pass validation (round-2 review item)
+            d = f[var]
+            day_fin = np.ones(d.shape[1:], bool)
+            for t0 in range(0, d.shape[0], 64):
+                blk = read_slice(d, slice(t0, t0 + 64))
+                day_fin &= np.isfinite(blk).all(axis=0)
         cov_n = float(np.isfinite(normal[:, land]).mean())
         cov_se = float(np.isfinite(se[:, land]).mean())
-        cov_d = float((np.isfinite(d0) & np.isfinite(dm))[land].mean())
+        cov_d = float(day_fin[land].mean())
         ok = cov_n > 0.99 and cov_se > 0.99 and cov_d > 0.99
         out[var] = {
             "status": "ok" if ok else "incomplete",
@@ -409,64 +427,81 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
     ``regions_path``: an HDF5 file with an integer ``regions`` dataset on
     the run's grid (e.g. rasterized climate divisions); station labels are
     sampled at station locations. Without it, coarse 5-degree latitude
-    bands stand in for climate divisions."""
+    bands stand in for climate divisions.
+
+    Both sweeps run PER VARIABLE against that variable's own serial DB
+    (normals, variograms and anomalies differ between tmin and tmax even on
+    a shared network) — the reference ran its optimization jobs once per
+    variable (``mpi_optim_nstns_norms_{tmin,tmax}``, SURVEY §2.16). Output
+    is keyed by variable."""
     import h5py
 
     from topotpu.interp.xval import optimize_nnghs, optimize_nnghs_anoms
 
     p = _paths(cfg)
     days = _days(cfg)
-    with StationDB(p["serial_tmin"]) as db:
-        vario = np.stack(
-            [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
-            axis=-1,
-        )
-        bad = db.stn(C.BAD).astype(bool)
-        lat = db.stn(C.LAT)
-        if regions_path:
-            rasters = RasterStack.load(p["rasters"])
-            with h5py.File(regions_path) as f:
-                reg_grid = f["regions"][...]
-            assert reg_grid.shape == rasters.grid.shape, (
-                f"region raster {reg_grid.shape} != grid {rasters.grid.shape}"
+    out: dict = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"serial_{var}"]
+        if not path.exists():
+            out[var] = {"status": "missing serial DB"}
+            continue
+        with StationDB(path) as db:
+            vario = np.stack(
+                [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL),
+                 db.stn(C.VARIO_RNG)],
+                axis=-1,
             )
-            rows, cols = rasters.grid.rowcol(db.stn(C.LON), lat)
-            regions = reg_grid[rows, cols].astype(int)
-        else:
-            regions = (lat // 5.0).astype(int)
-        valid = np.repeat(~bad[:, None], 12, 1)
-        out = optimize_nnghs(
-            db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
-            db.stn(C.LST), db.stn(C.NORM), vario, valid,
-            candidates=candidates,
-            region_labels=regions,
-            base_params=cfg.interp,
-        )
-        # anomaly (GWR daily) neighborhood size: its own sweep against the
-        # daily LOO protocol, normals k fixed — the reference's separate
-        # mpi_optim_nstns_anoms job (SURVEY §2.16)
-        norms = db.stn(C.NORM)
-        anoms = (db.obs(C.TMIN) - norms[:, days.month_idx]).astype(np.float32)
-        out_a = optimize_nnghs_anoms(
-            db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
-            db.stn(C.LST), norms, vario, valid, anoms, days.month_idx,
-            candidates=tuple(k for k in candidates
-                             if k <= cfg.interp.k_neighbors),
-            region_labels=regions,
-            base_params=cfg.interp,
-        )
-    return {
-        "best_k_by_region": {str(k): v for k, v in out["best"].items()},
-        "global_mae_by_k": {
-            str(k): float(v.mean()) for k, v in out["mae"].items()
-        },
-        "best_k_anom_by_region": {
-            str(k): v for k, v in out_a["best"].items()
-        },
-        "global_daily_mae_by_k_anom": {
-            str(k): float(v) for k, v in out_a["mae"].items()
-        },
-    }
+            bad = db.stn(C.BAD).astype(bool)
+            lat = db.stn(C.LAT)
+            if regions_path:
+                rasters = RasterStack.load(p["rasters"])
+                with h5py.File(regions_path) as f:
+                    reg_grid = f["regions"][...]
+                assert reg_grid.shape == rasters.grid.shape, (
+                    f"region raster {reg_grid.shape} != grid "
+                    f"{rasters.grid.shape}"
+                )
+                rows, cols = rasters.grid.rowcol(db.stn(C.LON), lat)
+                regions = reg_grid[rows, cols].astype(int)
+            else:
+                regions = (lat // 5.0).astype(int)
+            valid = np.repeat(~bad[:, None], 12, 1)
+            res = optimize_nnghs(
+                db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
+                db.stn(C.LST), db.stn(C.NORM), vario, valid,
+                candidates=candidates,
+                region_labels=regions,
+                base_params=cfg.interp,
+            )
+            # anomaly (GWR daily) neighborhood size: its own sweep against
+            # the daily LOO protocol, normals k fixed — the reference's
+            # separate mpi_optim_nstns_anoms job (SURVEY §2.16)
+            norms = db.stn(C.NORM)
+            anoms = (db.obs(var) - norms[:, days.month_idx]).astype(
+                np.float32
+            )
+            res_a = optimize_nnghs_anoms(
+                db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
+                db.stn(C.LST), norms, vario, valid, anoms, days.month_idx,
+                candidates=tuple(k for k in candidates
+                                 if k <= cfg.interp.k_neighbors),
+                region_labels=regions,
+                base_params=cfg.interp,
+            )
+        out[var] = {
+            "best_k_by_region": {str(k): v for k, v in res["best"].items()},
+            "global_mae_by_k": {
+                str(k): float(v.mean()) for k, v in res["mae"].items()
+            },
+            "best_k_anom_by_region": {
+                str(k): v for k, v in res_a["best"].items()
+            },
+            "global_daily_mae_by_k_anom": {
+                str(k): float(v) for k, v in res_a["mae"].items()
+            },
+        }
+    return out
 
 
 def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
