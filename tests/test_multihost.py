@@ -175,11 +175,23 @@ def test_mosaic_merges_hosts_and_matches_single_process(rig, tmp_path):
     eng = TileEngine(single_cfg, rasters, days, tmp_path / "single")
     eng.run(C.TMIN, stations, progress=False)
 
-    worst = 0.0
+    # all three products ride the packed buffer — compare each of them
+    # across the 2-process path, not just normals (round-2 review item)
+    fields = {
+        "normal": f"{C.TMIN}_normal", "se": f"{C.TMIN}_se", "daily": C.TMIN,
+    }
+    worst = dict.fromkeys(fields, 0.0)
     for key, info in json.loads((tiles / "manifest.json").read_text())["tiles"].items():
         if not key.startswith(C.TMIN):
             continue
-        a = read_var(tiles / info["file"], f"{C.TMIN}_normal")
-        b = read_var(tmp_path / "single" / info["file"], f"{C.TMIN}_normal")
-        worst = max(worst, float(np.nanmax(np.abs(a - b), initial=0.0)))
-    assert worst < 0.05, f"multi-host vs single-process normals: {worst}"
+        for field, name in fields.items():
+            a = read_var(tiles / info["file"], name)
+            b = read_var(tmp_path / "single" / info["file"], name)
+            assert np.array_equal(np.isfinite(a), np.isfinite(b)), (
+                f"{key}/{field}: masked-cell pattern differs across paths"
+            )
+            worst[field] = max(
+                worst[field], float(np.nanmax(np.abs(a - b), initial=0.0))
+            )
+    for field, w in worst.items():
+        assert w < 0.05, f"multi-host vs single-process {field}: {w}"
