@@ -269,6 +269,103 @@ def test_homogenize_elements_joint_and_specific(daily_network):
     assert np.abs(res["tmin"].adjustments[9]).max() < 0.5
 
 
+def test_metadata_window_catches_documented_edge_step(daily_network):
+    """Menne-Williams metadata windows: a documented change 12 months
+    before the series end sits inside SNHT's minseg=24 guard band, so blind
+    detection structurally cannot place it (and with measurement noise the
+    displaced edge statistic stays under threshold) — but with a
+    station-history entry the documented date is injected, confirmed by the
+    break-model t-test (min_side=12), and adjusted at the EXACT month.
+    Blind behavior for every other station is unchanged."""
+    world, days, daily = daily_network
+    rng = np.random.default_rng(55)
+    noisy = (daily + rng.normal(0, 2.0, daily.shape)).astype(np.float32)
+    split = int(np.flatnonzero(days.ymd == 20150101)[0])  # month 132 of 144
+    amp = 0.8
+    noisy[6, split:] += amp  # recent station move
+
+    blind = homogenize_network(
+        noisy, days.year, days.month, world.stn_lon, world.stn_lat,
+    )
+    assert len(blind.breakpoints[6]) == 0, (
+        f"edge step should hide from blind SNHT; got {blind.breakpoints[6]}"
+    )
+
+    informed = homogenize_network(
+        noisy, days.year, days.month, world.stn_lon, world.stn_lat,
+        station_history={6: [2015 * 12 + 0]},
+    )
+    assert len(informed.breakpoints[6]) == 1, "documented step missed"
+    b, est = informed.breakpoints[6][0]
+    assert b == 132, f"must adjust at the exact documented month, got {b}"
+    assert abs(est - amp) < 0.25, f"step estimate {est}"
+    # adjust-to-latest: the pre-move segment is pulled UP onto the new level
+    assert abs(informed.adjustments[6][:120].mean() - amp) < 0.25
+    # other stations untouched by the metadata
+    for s in (x for x in range(25) if x != 6):
+        assert blind.breakpoints[s] == informed.breakpoints[s]
+
+
+def test_metadata_window_no_phantom_adjustment(daily_network):
+    """A documented change with NO step signature in the data must not be
+    adjusted: injection only creates a candidate; the break-model t-test
+    still gates it."""
+    world, days, daily = daily_network
+    res = homogenize_network(
+        daily.copy(), days.year, days.month, world.stn_lon, world.stn_lat,
+        station_history={2: [2008 * 12 + 5]},
+    )
+    assert len(res.breakpoints[2]) == 0, res.breakpoints[2]
+    assert np.abs(res.adjustments[2]).max() < 0.01
+
+
+def test_merge_attributions_documented():
+    args = dict(need=4, date_tol=6, minseg=24)
+    # sub-quorum cluster near a documented date: snapped to it and accepted
+    acc = merge_attributions(
+        {"tmin": [(50, 1)], "tmax": []}, documented=(48,), **args
+    )
+    assert acc == {"tmin": [48], "tmax": [48]}
+    # documented date with no cluster: injected into every element
+    acc = merge_attributions(
+        {"tmin": [], "tmax": []}, documented=(100,), **args
+    )
+    assert acc == {"tmin": [100], "tmax": [100]}
+    # far from any documented date: blind rules apply untouched
+    acc = merge_attributions(
+        {"tmin": [(50, 2)], "tmax": []}, documented=(100,), **args
+    )
+    assert acc == {"tmin": [100], "tmax": [100]}
+    # a displaced full-quorum cluster within minseg of a documented date
+    # must not crowd it out of the thinning (documented date wins)
+    acc = merge_attributions(
+        {"tmin": [(120, 8)], "tmax": []}, documented=(132,), **args
+    )
+    assert acc == {"tmin": [132], "tmax": [132]}
+
+
+def test_parse_station_history():
+    from topotpu.homog import parse_station_history
+
+    ids = np.array([b"SYNTH00000", b"SYNTH00001", b"SYNTH00002"])
+    text = """
+    # station history fixture
+    SYNTH00001 2010-01  site move to new enclosure
+    SYNTH00001 2012-06
+    SYNTH00002 1999-12  instrument swap
+    UNKNOWN999 2005-03  outside this network -> ignored
+    """
+    out = parse_station_history(text, ids)
+    assert out == {
+        1: [2010 * 12 + 0, 2012 * 12 + 5],
+        2: [1999 * 12 + 11],
+    }
+    with pytest.raises(ValueError, match="bad date"):
+        parse_station_history("SYNTH00000 201001", ids)
+    with pytest.raises(ValueError, match="need"):
+        parse_station_history("SYNTH00000", ids)
+
+
 def test_homogenize_tiny_network(rng):
     # Networks with S <= n_pairs stations must not crash predictor
     # selection (argpartition kth bound): n_pairs clamps to S-1.

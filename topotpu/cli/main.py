@@ -95,6 +95,10 @@ def main(argv=None) -> int:
     ap.add_argument("--regions", default=None,
                     help="optim-nnghs: HDF5 region raster (int 'regions' "
                          "dataset on the run grid, e.g. climate divisions)")
+    ap.add_argument("--station-history", default=None,
+                    help="homog: documented-change metadata file "
+                         "('STN_ID YYYY-MM' lines); detection relaxes near "
+                         "documented dates (Menne-Williams windows)")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -123,7 +127,8 @@ def main(argv=None) -> int:
     if stage in ("qa", "all"):
         report("qa", steps.step_qa(cfg))
     if stage in ("homog", "all"):
-        report("homog", steps.step_homog(cfg))
+        report("homog", steps.step_homog(
+            cfg, station_history_path=args.station_history))
     if stage in ("infill", "all"):
         report("infill", steps.step_infill(cfg))
     if stage in ("krig-params", "all"):

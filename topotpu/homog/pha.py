@@ -215,6 +215,7 @@ def merge_attributions(
     need: int,
     date_tol: int,
     minseg: int,
+    documented: tuple[int, ...] | list[int] = (),
 ) -> dict[str, list[int]]:
     """Cross-element attribution (Menne-Williams multi-element
     confirmation): a cluster is attributed when it reaches the quorum in
@@ -222,11 +223,25 @@ def merge_attributions(
     near-quorum cluster at the same date (+-date_tol) in another element —
     a station move shifts tmin and tmax together, so coincident evidence
     across elements substitutes for one missing pair vote. Accepted dates
-    are then thinned to >= minseg spacing per element (date order)."""
+    are then thinned to >= minseg spacing per element (date order).
+
+    ``documented``: month indices of documented station-history changes for
+    this station (Menne-Williams metadata windows). Near a documented date
+    the attribution quorum is waived entirely — any SNHT cluster within
+    +-date_tol snaps to the documented date and is accepted — and every
+    documented date is additionally injected as a candidate even with zero
+    SNHT evidence. Both go through break-model confirmation downstream
+    (with its own relaxed quorum, see _confirm_and_steps), so a documented
+    date with no step signature in any pair is still never adjusted."""
     accepted: dict[str, list[int]] = {}
+    doc = sorted(documented)
     for elem, clusters in clusters_by_elem.items():
         dates: list[int] = []
         for center, votes in clusters:
+            near = [d for d in doc if abs(d - center) <= date_tol]
+            if near:
+                dates.append(min(near, key=lambda d: abs(d - center)))
+                continue
             if votes >= need:
                 dates.append(center)
                 continue
@@ -237,6 +252,17 @@ def merge_attributions(
                 for c2, v2 in cl2
             ):
                 dates.append(center)
+        for d in doc:  # documented dates with no cluster: inject as candidates
+            if d not in dates:
+                dates.append(d)
+        # documented dates win minseg conflicts: an SNHT break displaced
+        # beyond date_tol (common at the series edge, where minseg forbids
+        # the true position) must not crowd out the exact documented date
+        docset = set(doc)
+        dates = [
+            c for c in set(dates)
+            if c in docset or all(abs(c - d) >= minseg for d in docset)
+        ]
         thinned: list[int] = []
         for c in sorted(dates):
             if not thinned or c - thinned[-1] >= minseg:
@@ -251,6 +277,7 @@ def _confirm_and_steps(
     M: int,
     quorum_min: int,
     t_crit: float,
+    documented: frozenset[int] | set[int] = frozenset(),
 ) -> list[tuple[int, float]]:
     """Break-model confirmation + step estimation per attributed break.
 
@@ -261,7 +288,14 @@ def _confirm_and_steps(
     adjusted as a step, and significance is amplitude-dependent (a small
     offset in noisy/short segments has small t and is dropped). The step
     estimate is the trimmed mean of the winning models' offsets, which
-    de-biases sloped steps that a window-mean estimator would smear."""
+    de-biases sloped steps that a window-mean estimator would smear.
+
+    At a documented station-history date (``documented``) the confirmation
+    quorum drops to 1: metadata already attributes the change to this
+    station, so a single pair showing a significant model step suffices —
+    the amplitude t-test is the only remaining gate (Menne-Williams treats
+    documented changepoints as given and only estimates/screens the
+    adjustment)."""
     n_pairs = diffs_s.shape[0]
     stn_breaks: list[tuple[int, float]] = []
     bounds = [0] + attributed + [M]
@@ -272,7 +306,7 @@ def _confirm_and_steps(
             model, st, tstat = break_model(diffs_s[p], b, lo, hi)
             if model >= 2 and np.isfinite(st) and abs(tstat) >= t_crit:
                 steps.append(st)
-        if len(steps) >= quorum_min:
+        if len(steps) >= (1 if b in documented else quorum_min):
             steps = np.sort(steps)
             k = len(steps) // 5
             est = float(
@@ -295,6 +329,7 @@ def homogenize_elements(
     minseg: int = 24,
     max_breaks: int = 5,
     t_crit: float = 3.0,
+    station_history: dict[int, list[int]] | None = None,
 ) -> dict[str, HomogResult]:
     """Homogenize one or more elements (e.g. tmin + tmax) of an (S, T)
     daily network in place of the reference's PHA run.
@@ -304,7 +339,16 @@ def homogenize_elements(
     near-quorum evidence across elements rescues breaks one vote short of
     the single-element quorum. Detection, model confirmation, step
     estimation and adjustment stay per-element (an instrument change can
-    shift tmax only, and the step sizes differ even for joint moves)."""
+    shift tmax only, and the step sizes differ even for joint moves).
+
+    ``station_history``: documented station-history metadata (the input
+    full PHA v52i reads from NCEI's "his" files): maps station index ->
+    list of month keys (``year*12 + month-1``) of documented changes
+    (moves, instrument swaps). Near those dates attribution is relaxed and
+    confirmation needs only one significant pair (see merge_attributions /
+    _confirm_and_steps) — so small documented steps that would not clear
+    the blind quorum are still caught, while undocumented behavior is
+    completely unchanged. Parse files with ``parse_station_history``."""
     elems = list(dailies)
     S = dailies[elems[0]].shape[0]
     n_pairs = min(n_pairs, S - 1)  # at most S-1 distinct neighbors
@@ -328,16 +372,30 @@ def homogenize_elements(
         )
         for e in elems
     }
+    # documented-change month keys -> positions in the monthly series (the
+    # calendar — and so ``keys`` — is shared across elements)
+    keys0 = per_elem[elems[0]][1]
+    key_pos = {int(k): i for i, k in enumerate(keys0)}
+    doc_by_stn: dict[int, tuple[int, ...]] = {}
+    for s, ks in (station_history or {}).items():
+        pos = tuple(sorted(key_pos[int(k)] for k in ks if int(k) in key_pos))
+        if pos:
+            doc_by_stn[int(s)] = pos
+
     for s in range(S):
+        doc = doc_by_stn.get(s, ())
         clusters = {
             e: vote_clusters(per_elem[e][3][s], date_tol) for e in elems
         }
-        accepted = merge_attributions(clusters, need, date_tol, minseg)
+        accepted = merge_attributions(
+            clusters, need, date_tol, minseg, documented=doc
+        )
         for e in elems:
             monthly, keys, diffs, _ = per_elem[e]
             M = monthly.shape[1]
             stn_breaks = _confirm_and_steps(
-                diffs[s], accepted[e], M, quorum_min, t_crit
+                diffs[s], accepted[e], M, quorum_min, t_crit,
+                documented=frozenset(doc),
             )
             results[e].breakpoints.append(stn_breaks)
             # adjust-to-latest: months before each break get minus the
@@ -376,3 +434,48 @@ def homogenize_network(
     return homogenize_elements(
         {"x": daily}, year, month, stn_lon, stn_lat, **kwargs
     )["x"]
+
+
+def parse_station_history(
+    text: str, stn_ids: np.ndarray | list[str]
+) -> dict[int, list[int]]:
+    """Parse a station-history metadata file into homogenize_elements'
+    ``station_history`` mapping.
+
+    Format (whitespace-separated, '#' comments, the role of NCEI's PHA
+    "his" station-history input — SURVEY §2.7):
+
+        STN_ID  YYYY-MM  [free-text note]
+
+    one documented change (move / instrument swap / time-of-observation
+    change) per line, dated to the first month affected. Unknown station
+    ids are ignored (histories commonly cover a wider network than the
+    run). Returns {station index: [year*12 + month-1, ...]}."""
+    ids = [
+        i.decode() if isinstance(i, (bytes, np.bytes_)) else str(i)
+        for i in np.asarray(stn_ids).tolist()
+    ]
+    index = {sid: i for i, sid in enumerate(ids)}
+    out: dict[int, list[int]] = {}
+    for lineno, line in enumerate(text.splitlines(), 1):
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            raise ValueError(f"station-history line {lineno}: need "
+                             f"'STN_ID YYYY-MM', got {line!r}")
+        sid, ym = parts[0], parts[1]
+        try:
+            y, m = ym.split("-")
+            key = int(y) * 12 + int(m) - 1
+            if not 1 <= int(m) <= 12:
+                raise ValueError
+        except ValueError:
+            raise ValueError(
+                f"station-history line {lineno}: bad date {ym!r} "
+                "(want YYYY-MM)"
+            ) from None
+        if sid in index:
+            out.setdefault(index[sid], []).append(key)
+    return out
