@@ -103,6 +103,138 @@ def test_build_db_drops_stations_without_coordinates(tmp_path):
         assert db.stn(C.STN_ID)[0] == sid
 
 
+def _dly_line_flags(sid, year, month, elem, slots):
+    """Fixed-width .dly line with explicit per-day (value, mflag, qflag,
+    sflag) 4-tuples; remaining days are -9999/blank."""
+    line = f"{sid:<11}{year:04d}{month:02d}{elem:<4}"
+    for d in range(31):
+        v, mf, qf, sf = slots.get(d, (-9999, " ", " ", " "))
+        line += f"{v:5d}{mf}{qf}{sf}"
+    return line
+
+
+def test_ghcn_flag_semantics():
+    """Only QFLAG (failed NCEI QA) drops a value. MFLAG (measurement info,
+    e.g. 'L' lagged) and SFLAG (source) are informational and must NOT —
+    dropping on SFLAG would discard essentially the whole archive."""
+    sid = "USC00012345"
+    line = _dly_line_flags(sid, 2015, 3, "TMIN", {
+        0: (15, " ", " ", " "),    # plain
+        1: (20, "L", " ", "7"),    # lagged + source flag: keep
+        2: (25, " ", "S", " "),    # QFLAG S (spatial fail): drop
+        3: (30, "T", " ", "0"),    # MFLAG T (precip trace code): keep for temp
+        4: (-9999, " ", "X", " "),  # missing beats any flag
+    })
+    ps = InsertGhcn({}).parse_dly(line)
+    assert ps.tmin == {20150301: 1.5, 20150302: 2.0, 20150304: 3.0}
+
+
+def test_ghcn_impossible_dates_dropped():
+    """.dly lines always carry 31 slots; populated slots at impossible
+    dates (Feb 30, Apr 31, Feb 29 off-leap) must not become observations."""
+    sid = "USC00012345"
+    feb15 = _dly_line(sid, 2015, 2, "TMIN", [10] * 31)   # 2015: 28 days
+    feb16 = _dly_line(sid, 2016, 2, "TMIN", [10] * 31)   # 2016: leap
+    apr = _dly_line(sid, 2015, 4, "TMIN", [10] * 31)
+    ps = InsertGhcn({}).parse_dly("\n".join([feb15, feb16, apr]))
+    assert 20150229 not in ps.tmin and 20150230 not in ps.tmin
+    assert 20160229 in ps.tmin and 20160230 not in ps.tmin
+    assert 20150431 not in ps.tmin and 20150430 in ps.tmin
+    assert len(ps.tmin) == 28 + 29 + 30
+
+
+def test_ghcn_interleaved_elements_and_duplicates():
+    """Real .dly files interleave elements per month and are not
+    month-sorted; a duplicated (month, element) line resolves LAST-wins,
+    deterministically."""
+    sid = "USC00012345"
+    lines = [
+        _dly_line(sid, 2015, 2, "TMAX", [100]),
+        _dly_line(sid, 2015, 1, "PRCP", [999]),   # ignored element
+        _dly_line(sid, 2015, 1, "TMIN", [11]),
+        _dly_line(sid, 2015, 1, "TAVG", [55]),    # ignored element
+        _dly_line(sid, 2015, 1, "TMAX", [90]),
+        _dly_line(sid, 2015, 1, "TMIN", [22]),    # duplicate month: wins
+    ]
+    ps = InsertGhcn({}).parse_dly("\n".join(lines))
+    assert ps.tmin == {20150101: 2.2}
+    assert ps.tmax == {20150201: 10.0, 20150101: 9.0}
+
+
+def test_inventory_missing_elev_and_relocation():
+    """Inventory quirks: the documented -999.9 missing-elevation code must
+    read as NaN (not a finite covariate!), and a station re-listed after a
+    relocation resolves to the LAST entry."""
+    sid = "USC00012345"
+    l1 = f"{sid}  40.1000 -103.5000 -999.9 CO OLD SITE                      "
+    l2 = f"{sid}  40.9000 -104.0000 1600.0 CO NEW SITE                      "
+    inv = parse_ghcnd_stations("\n".join([l1, l2]))
+    assert inv[sid]["lat"] == 40.9 and inv[sid]["elev"] == 1600.0
+
+    inv1 = parse_ghcnd_stations(l1)
+    assert np.isnan(inv1[sid]["elev"])
+
+
+def test_build_db_screens_impossible_coordinates(tmp_path):
+    """Finite-but-impossible coordinates (other networks' -999.9 style
+    missing codes) must be screened like NaN at build time."""
+    days = get_days_metadata("2015-01-01", "2015-12-31")
+    vals = list(range(1, 32))
+    text = "\n".join(
+        _dly_line("USC00012345", 2015, m, "TMIN", vals) for m in range(1, 13)
+    )
+    bad = InsertGhcn(
+        {"USC00012345": {"lat": -999.9, "lon": -103.0, "elev": 1000.0,
+                         "state": "", "name": ""}}
+    ).parse_dly(text)
+    good = InsertGhcn(
+        {"USC00012345": {"lat": 40.0, "lon": -103.0, "elev": 1000.0,
+                         "state": "", "name": ""}}
+    ).parse_dly(text)
+    good.stn_id = "USC00099999"
+    with build_station_db(tmp_path / "o.h5", [bad, good], days) as db:
+        assert db.n_stations == 1
+        assert db.stn(C.STN_ID)[0] == "USC00099999"
+    # every station screened out: a clear error, not an opaque h5py one
+    with pytest.raises(ValueError, match="no stations survived"):
+        build_station_db(tmp_path / "o2.h5", [bad], days)
+
+
+def test_delimited_edge_cases():
+    """SNOTEL/RAWS exports: alternative missing tokens and impossible
+    dates must be skipped, not parsed."""
+    text = (
+        "Date,TMIN,TMAX\n"
+        "2015-02-30,32.0,50.0\n"      # impossible date
+        "2015-06-01,M,77.0\n"          # 'M' missing code
+        "2015-06-02,NA,NaN\n"
+        "2015-06-03,41.0,59.0\n"
+        "not-a-date,1,2\n"
+    )
+    ps = InsertSnotel().parse(text, "SNOTEL:301")
+    assert 20150230 not in ps.tmin and 20150230 not in ps.tmax
+    assert 20150601 not in ps.tmin and abs(ps.tmax[20150601] - 25.0) < 1e-9
+    assert 20150602 not in ps.tmin and 20150602 not in ps.tmax
+    assert abs(ps.tmin[20150603] - 5.0) < 1e-9
+
+
+def test_ushcn_estimated_flag():
+    """DMFLAG 'E' months are wholly FILNET-estimated; drop_estimated must
+    exclude exactly those (default keeps them, like the reference's use)."""
+    sid = "USH00011084"
+    s = f"{sid} 2010"
+    vals = [500 + m for m in range(12)]
+    for m, v in enumerate(vals):
+        dm = "E" if m in (2, 7) else " "
+        s += f"{v:6d}{dm}  "
+    kept = parse_ushcn_monthly(s)
+    assert np.isfinite(kept[sid]["values"]).all()
+    dropped = parse_ushcn_monthly(s, drop_estimated=True)
+    v = dropped[sid]["values"][0]
+    assert np.isnan(v[2]) and np.isnan(v[7])
+    assert np.isfinite(np.delete(v, [2, 7])).all()
+
+
 def test_download_gated():
     url = ghcnd_station_url("USC00012345")
     assert url.endswith("USC00012345.dly")

@@ -45,20 +45,50 @@ class ParsedStation:
 
 
 def parse_ghcnd_stations(text: str) -> dict[str, dict]:
-    """ghcnd-stations.txt fixed-width inventory -> {stn_id: attrs}."""
+    """ghcnd-stations.txt fixed-width inventory -> {stn_id: attrs}.
+
+    Spec edge cases handled (NCEI readme.txt for ghcnd-stations):
+      * elevation ``-999.9`` is the documented missing code -> NaN (a raw
+        float() would keep it and poison the elevation covariate);
+      * unparseable coordinate fields -> NaN (screened at build);
+      * duplicated station ids (relocated stations re-listed): LAST entry
+        wins, matching the file's most-recent-metadata convention — the
+        deterministic choice is what matters for reproducibility."""
+    def _f(s: str, missing=()):
+        try:
+            v = float(s)
+        except ValueError:
+            return np.nan
+        return np.nan if v in missing else v
+
     out = {}
     for line in text.splitlines():
         if len(line) < 71:
             continue
         stn_id = line[0:11].strip()
         out[stn_id] = {
-            "lat": float(line[12:20]),
-            "lon": float(line[21:30]),
-            "elev": float(line[31:37]),
+            "lat": _f(line[12:20]),
+            "lon": _f(line[21:30]),
+            "elev": _f(line[31:37], missing=(-999.9,)),
             "state": line[38:40].strip(),
             "name": line[41:71].strip(),
         }
     return out
+
+
+_DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _valid_ymd(year: int, month: int, day: int) -> bool:
+    """Calendar-aware date validity: .dly lines always carry 31 value
+    slots, so day 30 of February exists in the layout — corrupt files can
+    populate it, and an unguarded parse would emit impossible dates."""
+    if not 1 <= month <= 12:
+        return False
+    dim = _DAYS_IN_MONTH[month - 1]
+    if month == 2 and year % 4 == 0 and (year % 100 != 0 or year % 400 == 0):
+        dim = 29
+    return 1 <= day <= dim
 
 
 class InsertGhcn:
@@ -90,10 +120,21 @@ class InsertGhcn:
             elem = line[17:21]
             var = self.ELEMENTS.get(elem)
             if var is None:
+                continue  # PRCP/SNOW/... interleave freely in real files
+            try:
+                year = int(line[11:15])
+                month = int(line[15:17])
+            except ValueError:
                 continue
-            year = int(line[11:15])
-            month = int(line[15:17])
             target = getattr(ps, var)
+            # Per-slot flag semantics (GHCN-D readme): VALUE(5) MFLAG(1)
+            # QFLAG(1) SFLAG(1). Only a set QFLAG (failed NCEI QA) drops a
+            # value — the reference behavior. MFLAG is measurement INFO
+            # (e.g. 'L' = lagged reading) and SFLAG is the data SOURCE;
+            # dropping on either would discard valid observations (MFLAG
+            # 'T' trace applies to precipitation, never temperature).
+            # Duplicated (station, month, element) lines: last wins (plain
+            # dict assignment), deterministic under any input order.
             for day in range(31):
                 off = 21 + day * 8
                 raw = line[off : off + 5]
@@ -106,6 +147,8 @@ class InsertGhcn:
                     continue
                 if qflag.strip():  # provider QA flag -> drop (reference behavior)
                     continue
+                if not _valid_ymd(year, month, day + 1):
+                    continue  # e.g. Feb 30 slot populated in a corrupt file
                 ymd = year * 10000 + month * 100 + (day + 1)
                 target[ymd] = v / 10.0  # tenths C -> C
         return ps if ps is not None else ParsedStation(stn_id=stn_id or "?")
@@ -122,7 +165,7 @@ class InsertDelimited:
     fields out of their network formats."""
 
     def __init__(self, date_col=0, tmin_col=1, tmax_col=2, sep=",",
-                 unit="C", missing=("", "-99.9", "-9999")):
+                 unit="C", missing=("", "-99.9", "-9999", "M", "NA", "NaN")):
         self.date_col, self.tmin_col, self.tmax_col = date_col, tmin_col, tmax_col
         self.sep = sep
         self.unit = unit
@@ -140,7 +183,13 @@ class InsertDelimited:
             d = parts[self.date_col]
             if len(d) != 10 or d[4] != "-":
                 continue  # header or malformed
-            ymd = int(d[0:4]) * 10000 + int(d[5:7]) * 100 + int(d[8:10])
+            try:
+                y, mo, dy = int(d[0:4]), int(d[5:7]), int(d[8:10])
+            except ValueError:
+                continue
+            if not _valid_ymd(y, mo, dy):
+                continue
+            ymd = y * 10000 + mo * 100 + dy
             for col, var in ((self.tmin_col, "tmin"), (self.tmax_col, "tmax")):
                 raw = parts[col]
                 if raw in self.missing:
@@ -190,12 +239,22 @@ def build_station_db(
         # for the subtler cases)
         if not all(np.isfinite(v) for v in (ps.lon, ps.lat, ps.elev)):
             continue
+        # physically impossible coordinates (other networks' missing codes
+        # like -999.9 arrive finite): screen here, like the NaN case
+        if not (-90.0 <= ps.lat <= 90.0 and -180.0 <= ps.lon <= 180.0):
+            continue
         n = sum(1 for y in ps.tmin if y in ymd_to_idx) + sum(
             1 for y in ps.tmax if y in ymd_to_idx
         )
         if n >= min_obs:
             keep.append(ps)
     S = len(keep)
+    if S == 0:
+        raise ValueError(
+            f"no stations survived screening ({len(parsed)} parsed: "
+            "need finite+physical coordinates and >= "
+            f"{min_obs} in-period observations)"
+        )
 
     tmin = np.full((S, T), np.nan, np.float32)
     tmax = np.full((S, T), np.nan, np.float32)

@@ -19,8 +19,17 @@ import numpy as np
 MISSING = -9999
 
 
-def parse_ushcn_monthly(text: str, scale: float = 0.01) -> dict[str, dict]:
-    """Parse FLs.52i-style lines -> {stn_id: {"years": (Y,), "values": (Y, 12)}}."""
+def parse_ushcn_monthly(
+    text: str, scale: float = 0.01, drop_estimated: bool = False
+) -> dict[str, dict]:
+    """Parse FLs.52i-style lines -> {stn_id: {"years": (Y,), "values": (Y, 12)}}.
+
+    Per-month field layout is value(6) + DMFLAG + QCFLAG + DSFLAG (v2.5
+    readme). ``-9999`` in the value field is the missing code regardless of
+    flags. ``drop_estimated=True`` additionally NaNs months whose DMFLAG is
+    'E' (wholly FILNET-estimated, no underlying observation) — anchoring
+    comparisons against estimated values would score the infill model, not
+    the homogenization."""
     per_station: dict[str, dict[int, np.ndarray]] = {}
     for line in text.splitlines():
         if len(line) < 16 + 12 * 9:
@@ -34,12 +43,16 @@ def parse_ushcn_monthly(text: str, scale: float = 0.01) -> dict[str, dict]:
         for m in range(12):
             off = 16 + m * 9
             raw = line[off : off + 6]
+            dmflag = line[off + 6 : off + 7]
             try:
                 v = int(raw)
             except ValueError:
                 continue
-            if v != MISSING:
-                vals[m] = v * scale
+            if v == MISSING:
+                continue
+            if drop_estimated and dmflag == "E":
+                continue
+            vals[m] = v * scale
         per_station.setdefault(sid, {})[year] = vals
     out = {}
     for sid, by_year in per_station.items():
