@@ -75,16 +75,40 @@ def main():
     for _ in range(n_iter):
         res = fn(pair)
     jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / n_iter
+    dt_async = (time.perf_counter() - t0) / n_iter
 
-    cells_per_sec = 2 * n_cells / dt
+    # Readback-verified timing (the CLAUDE.md rule: block_until_ready is
+    # unreliable over the tunneled device link): each step additionally
+    # forces a 1-element device->host fetch of the result, and the measured
+    # per-probe RPC baseline (device slice + fetch of a warm array, same
+    # op sequence) is subtracted. The HEADLINE value is this number; the
+    # async one is reported alongside so the delta stays visible.
+    probe_src = res_a.normal  # already-computed warm array
+    float(np.asarray(probe_src[0, 0]))  # warm the probe program
+    n_rpc = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rpc):
+        float(np.asarray(probe_src[0, 0]))
+    rpc_baseline = (time.perf_counter() - t0) / n_rpc
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        res_a2, _ = fn(pair)
+        float(np.asarray(res_a2.normal[0, 0]))  # forces full completion
+    dt_rb = max((time.perf_counter() - t0) / n_iter - rpc_baseline, 1e-9)
+
+    rate_rb = 2 * n_cells / dt_rb
+    rate_async = 2 * n_cells / dt_async
     out = {
         "metric": "variable-cells/sec fully interpolated (12 monthly kriged "
         "normals + variance + 365 daily GWR anomalies for BOTH variables "
-        "via the paired tmin+tmax step, k=32, single chip)",
-        "value": round(cells_per_sec, 1),
+        "via the paired tmin+tmax step, k=32, single chip; readback-timed, "
+        "RPC baseline subtracted)",
+        "value": round(rate_rb, 1),
         "unit": "cells/sec",
-        "vs_baseline": round(cells_per_sec / NORTH_STAR_CELLS_PER_SEC_PER_CHIP, 3),
+        "vs_baseline": round(rate_rb / NORTH_STAR_CELLS_PER_SEC_PER_CHIP, 3),
+        "value_async": round(rate_async, 1),
+        "rpc_baseline_ms": round(rpc_baseline * 1e3, 2),
     }
     print(json.dumps(out))
 

@@ -175,19 +175,38 @@ class TileEngine:
             self._shard_pair = lambda p: shard_pair_inputs(self.mesh, p)
         return self._pair_fns[shared]
 
+    _prefetch_warned = False  # class-wide: warn once per process, not per tile
+
+    def _try_prefetch(self, *arrays) -> None:
+        """Best-effort async device->host copy. A failure here only costs
+        the compute/transfer overlap (every fetch silently becomes
+        synchronous), so it must not kill the run — but that is a real
+        performance regression, so the FIRST failure is logged (round-2
+        review item: silent contextlib.suppress hid the fallback)."""
+        try:
+            for a in arrays:
+                a.copy_to_host_async()
+        except Exception as e:  # noqa: BLE001 — optimization guard only
+            if not TileEngine._prefetch_warned:
+                TileEngine._prefetch_warned = True
+                import sys
+
+                print(
+                    f"topotpu: host-copy prefetch unavailable ({e!r}); "
+                    "device->host fetches fall back to synchronous "
+                    "(throughput will drop; correctness unaffected)",
+                    file=sys.stderr, flush=True,
+                )
+
     def _dispatch(self, task: TileTask):
         """Launch the device step for one tile (async) and start the
         device->host copy so the transfer overlaps the next tile's compute."""
-        import contextlib
-
         import jax.numpy as jnp
 
         if self._flat:
             slot = jnp.asarray(self.layout.slot_of_day, jnp.int32)
             fut = self._fn(self._shard(task.inputs), slot)
-            with contextlib.suppress(Exception):  # best-effort prefetch only
-                fut.buf.copy_to_host_async()
-                fut.scales.copy_to_host_async()
+            self._try_prefetch(fut.buf, fut.scales)
             return fut
         return self._fn(self._shard(task.inputs))
 
@@ -531,8 +550,6 @@ class TileEngine:
             total=len(pending), unit="tiles", enabled=progress,
             items_per=2 * self.config.tile_rows * self.config.tile_cols,
         )
-        import contextlib
-
         inflight = None
         n_done = 0
         it = iter(pending)
@@ -545,9 +562,7 @@ class TileEngine:
         while prepared is not None:
             task, pair = prepared
             fut = fn(self._shard_pair(pair), slot)
-            with contextlib.suppress(Exception):  # best-effort prefetch
-                fut.buf.copy_to_host_async()
-                fut.scales.copy_to_host_async()
+            self._try_prefetch(fut.buf, fut.scales)
             cur_spec = task.spec
             next_spec = next(it, None)
             prepared = (
