@@ -109,9 +109,17 @@ def main(argv=None) -> int:
 
     from topotpu.cli import steps
 
+    import time as _time
+
+    _stage_t0 = [_time.time()]
+
     def report(name, result):
-        print(json.dumps({"stage": name, "result": result}, default=str),
+        now = _time.time()
+        print(json.dumps({"stage": name, "result": result,
+                          "wall_s": round(now - _stage_t0[0], 2)},
+                         default=str),
               flush=True)
+        _stage_t0[0] = now
 
     stage = args.stage
     if stage in ("synth-data", "all"):

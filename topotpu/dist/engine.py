@@ -10,10 +10,14 @@ TPU-native shape of the same machinery:
 
 * the worker pool is ONE jitted SPMD program over the device mesh
   (``dist.mesh.sharded_interp_tile``) — tiles stream through it;
-* the writer rank becomes the host thread: the engine runs a 1-deep
-  software pipeline (dispatch tile t, then while the devices compute it,
-  write tile t-1 and prepare tile t+1's inputs) so netCDF IO and host prep
-  overlap device time — the double-buffering SURVEY §7 calls out;
+* the writer rank becomes a writer THREAD: the main thread prepares host
+  inputs and dispatches device steps, a dedicated thread drains fetched
+  buffers to HDF5 (the reference's rank-1 writer, in-process), and a
+  bounded queue keeps up to PIPELINE_DEPTH tiles in flight — so the
+  tunnel-bound fetch+write path overlaps BOTH device compute and the next
+  tiles' host prep (round-2 profiling: device compute is ~20x faster than
+  the host path; the 1-deep single-thread pipeline serialized prep against
+  fetch and left the device idle);
 * restart = a JSON manifest + atomic tile files: every completed tile is
   recorded after its os.replace; on resume, completed tiles are skipped.
 """
@@ -216,8 +220,14 @@ class TileEngine:
             return json.loads(self.manifest_path.read_text())
         return {"tiles": {}}
 
-    def _record_tile(self, key: str, info: dict):
+    def _record_tile(self, key: str, info: dict, save: bool = True):
+        """``save=False`` defers the manifest file write so a multi-entry
+        update (e.g. both variables of a pair) costs one serialization; the
+        entry not yet on disk merely stays pending across a crash, and the
+        write is idempotent."""
         self.manifest["tiles"][key] = info
+        if not save:
+            return
         tmp = self.manifest_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(self.manifest, indent=0))
         tmp.replace(self.manifest_path)
@@ -314,7 +324,9 @@ class TileEngine:
         return TileTask(spec=spec, inputs=ti, pool_idx=pool)
 
     # ------------------------------------------------------------- writing
-    def _write_tile_flat(self, spec: TileSpec, var: str, result) -> None:
+    def _write_tile_flat(
+        self, spec: TileSpec, var: str, result, save_manifest: bool = True
+    ) -> None:
         """Write a FlatTileResult: slice the one fetched int16 buffer straight
         into HDF5 datasets — no host decode/pack/reorder pass at all."""
         from topotpu.io.ncdf import FILL_I16
@@ -358,6 +370,7 @@ class TileEngine:
                 "ok_cells": int(okm.all(0).sum()),
                 "ts": time.time(),
             },
+            save=save_manifest,
         )
 
     def _write_tile(self, spec: TileSpec, var: str, result) -> None:
@@ -407,6 +420,85 @@ class TileEngine:
                 "ts": time.time(),
             },
         )
+
+    # --------------------------------------------------- pipelined run core
+    PIPELINE_DEPTH = 3  # per-stage queue bound (tiles in flight per stage)
+
+    def _pipelined(self, pending, step, write, status) -> int:
+        """Three-stage tile pipeline shared by run and run_pair.
+
+        main thread   step(spec) -> (spec, fut): host prep + async dispatch
+        fetch thread  jax.device_get(fut): blocks on device compute + the
+                      tunneled device->host transfer (GIL released — on the
+                      1-core host this overlap is real, not cosmetic)
+        write thread  write(spec, host_result): HDF5 files + manifest
+
+        The stages map onto the run's three distinct resources (host CPU,
+        device+link, disk), so each tile's transfer overlaps both the next
+        tile's prep/compute and the previous tile's file write. Only the
+        write thread touches files — the single-writer-per-file and
+        single-manifest-writer discipline of the reference's dedicated MPI
+        writer rank (SURVEY §3.1), kept as threads in one process.
+
+        A stage failure aborts the run: upstream stops, queued work is
+        discarded (those tiles stay pending in the manifest for a resume),
+        and the first exception re-raises here."""
+        import queue
+        import threading
+
+        q_fetch: queue.Queue = queue.Queue(maxsize=self.PIPELINE_DEPTH)
+        q_write: queue.Queue = queue.Queue(maxsize=self.PIPELINE_DEPTH)
+        n_done = 0
+        errs: list[BaseException] = []
+
+        def fetcher():
+            while True:
+                item = q_fetch.get()
+                if item is None:
+                    q_write.put(None)
+                    return
+                if errs:
+                    continue  # drain so upstream put() unblocks
+                spec, fut = item
+                try:
+                    q_write.put((spec, jax.device_get(fut)))
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+
+        def writer():
+            nonlocal n_done
+            while True:
+                item = q_write.get()
+                if item is None:
+                    return
+                if errs:
+                    continue
+                spec, host = item
+                try:
+                    write(spec, host)
+                    n_done += 1
+                    status.tick()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+
+        threads = [
+            threading.Thread(target=fetcher, name="tile-fetcher"),
+            threading.Thread(target=writer, name="tile-writer"),
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for spec in pending:
+                if errs:
+                    break
+                q_fetch.put(step(spec))
+        finally:
+            q_fetch.put(None)
+            for t in threads:
+                t.join()
+        if errs:
+            raise errs[0]
+        return n_done
 
     # ------------------------------------------------------- production run
     def run_production(
@@ -498,7 +590,8 @@ class TileEngine:
         buf = np.asarray(result.buf)    # one RPC for both variables
         sc = np.asarray(result.scales)
         self._write_tile_flat(
-            spec, var_a, FlatTileResult(buf=buf[:n_rows], scales=sc[:6])
+            spec, var_a, FlatTileResult(buf=buf[:n_rows], scales=sc[:6]),
+            save_manifest=False,  # one manifest serialization per pair
         )
         self._write_tile_flat(
             spec, var_b, FlatTileResult(buf=buf[n_rows:], scales=sc[6:])
@@ -550,35 +643,18 @@ class TileEngine:
             total=len(pending), unit="tiles", enabled=progress,
             items_per=2 * self.config.tile_rows * self.config.tile_cols,
         )
-        inflight = None
-        n_done = 0
-        it = iter(pending)
-        next_spec = next(it, None)
-        prepared = (
-            self.prepare_pair(next_spec, stations_a, stations_b)
-            if next_spec
-            else None
-        )
-        while prepared is not None:
-            task, pair = prepared
+
+        def step(spec):
+            task, pair = self.prepare_pair(spec, stations_a, stations_b)
             fut = fn(self._shard_pair(pair), slot)
             self._try_prefetch(fut.buf, fut.scales)
-            cur_spec = task.spec
-            next_spec = next(it, None)
-            prepared = (
-                self.prepare_pair(next_spec, stations_a, stations_b)
-                if next_spec
-                else None
-            )
-            if inflight is not None:
-                self._write_tile_pair(inflight[0], var_a, var_b, inflight[1])
-                n_done += 1
-                status.tick()
-            inflight = (cur_spec, fut)
-        if inflight is not None:
-            self._write_tile_pair(inflight[0], var_a, var_b, inflight[1])
-            n_done += 1
-            status.tick()
+            return task.spec, fut
+
+        n_done = self._pipelined(
+            pending, step,
+            lambda spec, fut: self._write_tile_pair(spec, var_a, var_b, fut),
+            status,
+        )
         return {var_a: n_done, var_b: n_done}
 
     def run_production_pair(
@@ -645,24 +721,13 @@ class TileEngine:
             total=len(pending), unit="tiles", enabled=progress,
             items_per=self.config.tile_rows * self.config.tile_cols,
         )
-        inflight: tuple[TileSpec, object] | None = None
-        n_done = 0
-        it = iter(pending)
-        next_spec = next(it, None)
-        task = self.prepare(next_spec, stations) if next_spec else None
-        while task is not None:
-            fut = self._dispatch(task)  # async dispatch + host-copy prefetch
-            cur_spec = task.spec
-            # overlap: prep next + drain previous while devices compute
-            next_spec = next(it, None)
-            task = self.prepare(next_spec, stations) if next_spec else None
-            if inflight is not None:
-                self._write_tile(inflight[0], var, inflight[1])
-                n_done += 1
-                status.tick()
-            inflight = (cur_spec, fut)
-        if inflight is not None:
-            self._write_tile(inflight[0], var, inflight[1])
-            n_done += 1
-            status.tick()
-        return n_done
+
+        def step(spec):
+            task = self.prepare(spec, stations)
+            return task.spec, self._dispatch(task)
+
+        return self._pipelined(
+            pending, step,
+            lambda spec, fut: self._write_tile(spec, var, fut),
+            status,
+        )
