@@ -28,3 +28,30 @@ def test_scatter_matmul_matches_gather(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_matmul_wide_day_axis_chunks(rng):
+    """Day axes beyond MAX_Y_COLS (the paired 4-year-chunk production
+    shape, 2 x 12 x 124 = 2976 columns, which overflowed scoped VMEM
+    uncapped) split into column chunks; results must equal the gather
+    path across the chunk seams."""
+    from topotpu.kernels.pallas_scatter import MAX_Y_COLS
+
+    C, S, k, D = 512, 128, 8, 2976
+    assert D > 2 * MAX_Y_COLS  # exercises >= 3 chunks incl. an odd tail
+    g = rng.normal(size=(C, k)).astype(np.float32)
+    idx = rng.integers(0, S, (C, k)).astype(np.int32)
+    mask = rng.uniform(size=(C, k)) > 0.1
+    Y = rng.normal(size=(S, D)).astype(np.float32)
+
+    ref = predict_daily_gathered(
+        jnp.asarray(g), jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(Y)
+    )
+    got = scatter_daily_matmul(
+        jnp.asarray(idx.T), jnp.asarray(g.T),
+        jnp.asarray(mask.T.astype(np.float32)), jnp.asarray(Y),
+        interpret=True,
+    )
+    assert got.shape == (C, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -179,6 +179,40 @@ class TileEngine:
             self._shard_pair = lambda p: shard_pair_inputs(self.mesh, p)
         return self._pair_fns[shared]
 
+    # files below this size skip writeback pacing (test-size tiles: the
+    # per-file fdatasync latency would dominate, and small runs never hit
+    # the dirty-page throttle that pacing exists to avoid)
+    PACE_MIN_BYTES = 8 << 20
+
+    @classmethod
+    def _pace_writeback(cls, path: pathlib.Path) -> None:
+        """Flush a finished tile file to disk and drop its page cache.
+
+        At production scale the engine writes tens of GB of tiles; left to
+        the kernel, dirty pages accumulate to the vm.dirty_ratio throttle
+        and then EVERY write in the writer thread stalls behind bulk
+        writeback (measured on the 4096^2 run: 1.5 -> 0.7 tile-pairs/s
+        decay after ~15 GB written, halving sustained throughput).
+        fdatasync paces the writer at the disk's true sustained rate —
+        which the fetch/compute stages overlap — and FADV_DONTNEED keeps
+        the page cache for work that reads, not for data nothing will
+        touch until mosaic."""
+        import os
+
+        try:
+            if path.stat().st_size < cls.PACE_MIN_BYTES:
+                return
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fdatasync(fd)
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        except (AttributeError, OSError):
+            pass
+        finally:
+            os.close(fd)
+
     _prefetch_warned = False  # class-wide: warn once per process, not per tile
 
     def _try_prefetch(self, *arrays) -> None:
@@ -362,6 +396,7 @@ class TileEngine:
                 f"{var}_se", se, float(sc[4]), float(sc[5]),
                 long_name="kriging standard error",
             )
+        self._pace_writeback(self._tile_file(spec, var))
         self._record_tile(
             self._tile_key(spec, var),
             {
@@ -411,6 +446,7 @@ class TileEngine:
                 w.write_daily(var, daily, long_name=f"daily {var}")
             w.write_monthly(f"{var}_normal", normal, long_name="monthly normal")
             w.write_monthly(f"{var}_se", se, long_name="kriging standard error")
+        self._pace_writeback(self._tile_file(spec, var))
         self._record_tile(
             self._tile_key(spec, var),
             {

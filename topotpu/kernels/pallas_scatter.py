@@ -29,6 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 CELLS_BLOCK = 512
 
+# Per-call cap on Y's day-column count. The kernel's scoped VMEM grows
+# ~6 KB per column (Y block + double-buffered out): a 2976-column Y (the
+# paired two-variable 4-year-chunk case, 2 x 12 x 124 day slots) measured
+# 17.31 MB against the 16 MB limit and failed to compile. Above the cap
+# the public entry splits Y column-wise and runs the kernel per chunk:
+# the in-VMEM scatter is recomputed per chunk, but it is FLOP-trivial
+# (k passes over an (S, 512) block) and the extra idx/gains HBM re-reads
+# (~8 MB per chunk) stay ~10x below the gather alternative this kernel
+# replaces, so chunking preserves the kernel's entire advantage.
+MAX_Y_COLS = 1280
+
 
 def _scatter_matmul_kernel(idx_ref, gains_ref, m_ref, y_ref, out_ref, Gt,
                            *, k: int, S: int, cells: int):
@@ -60,8 +71,25 @@ def scatter_daily_matmul(
     Y: jnp.ndarray,        # (S, dpm) station day matrix
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(C, dpm) daily anomalies. C must be a multiple of 512 and S x dpm
-    must fit VMEM (holds for any per-tile station pool / chunked day axis)."""
+    """(C, dpm) daily anomalies. C must be a multiple of 512; day axes
+    wider than MAX_Y_COLS are processed in column chunks (see above)."""
+    S, dpm = Y.shape
+    if dpm > MAX_Y_COLS:
+        n = -(-dpm // MAX_Y_COLS)
+        w = -(-dpm // n)  # balanced chunk widths
+        return jnp.concatenate(
+            [
+                _scatter_daily_matmul_one(
+                    idx_t, gains_t, mask_t, Y[:, c0 : c0 + w], interpret
+                )
+                for c0 in range(0, dpm, w)
+            ],
+            axis=1,
+        )
+    return _scatter_daily_matmul_one(idx_t, gains_t, mask_t, Y, interpret)
+
+
+def _scatter_daily_matmul_one(idx_t, gains_t, mask_t, Y, interpret=False):
     k, C = idx_t.shape
     S, dpm = Y.shape
     assert C % CELLS_BLOCK == 0, f"cell batch {C} not a multiple of {CELLS_BLOCK}"
