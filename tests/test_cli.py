@@ -108,6 +108,31 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert out["result"]["tmin"]["within_parity_bar"] is True
     assert out["result"]["tmax"]["within_parity_bar"] is True
 
+    # point stage: ad-hoc PtInterpTair-style site interpolation must agree
+    # with the gridded product at the same cells (same code path; the
+    # sites ARE a tiny cell batch)
+    cs = 1.0 / 120.0
+    sites = [(-106.0 + cs / 2 + 7 * cs, 41.0 - cs / 2 - 5 * cs),
+             (-106.0 + cs / 2 + 15 * cs, 41.0 - cs / 2 - 11 * cs)]
+    # NB --points=<...> form: a leading "-106.0" would otherwise parse as
+    # an option flag
+    rc = main(["point", "--config", str(cfg_path),
+               "--points=" + ";".join(f"{x},{y}" for x, y in sites)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["result"]["tmin"]["ok_sites"] == 2
+    import csv as _csv
+
+    with open(tmp_path / "data" / "point_tmin_normals.csv") as f:
+        rows = list(_csv.reader(f))
+    assert len(rows) == 3 and rows[0][2] == "norm_01"
+    with h5py.File(tmp_path / "data" / "mosaic_tmin.h5") as f:
+        grid_norm = f["normal"][...]
+    for i, (r, c) in enumerate([(5, 7), (11, 15)]):
+        got = np.array([float(v) for v in rows[1 + i][2:14]])
+        np.testing.assert_allclose(got, grid_norm[:, r, c], atol=5e-3)
+    assert (tmp_path / "data" / "point_tmax_daily.csv").exists()
+
     # full daily-coverage scan: a hole punched at an arbitrary day (NOT day
     # 0 or the midpoint the old sampled check looked at) must flip validate
     # to incomplete (runs last: it corrupts the tmin mosaic)

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     ap.add_argument("stage", choices=[
         "synth-data", "download", "build-db", "qa", "homog", "infill",
         "krig-params", "interp", "mosaic", "validate", "validate-f64", "all",
-        "xval-interp", "xval-daily", "xval-infill", "optim-nnghs",
+        "xval-interp", "xval-daily", "xval-infill", "optim-nnghs", "point",
     ])
     ap.add_argument("--config", help="TopoConfig JSON path")
     ap.add_argument("--data-dir", help="override config.data_dir")
@@ -99,6 +99,14 @@ def main(argv=None) -> int:
                     help="homog: documented-change metadata file "
                          "('STN_ID YYYY-MM' lines); detection relaxes near "
                          "documented dates (Menne-Williams windows)")
+    ap.add_argument("--points", default=None,
+                    help="point: 'lon,lat;lon,lat;...' sites to interpolate "
+                         "(the reference's PtInterpTair ad-hoc use); pass as "
+                         "--points=-106.0,41.0 — the = form keeps a leading "
+                         "minus from parsing as a flag")
+    ap.add_argument("--out", default=None,
+                    help="point: output directory for the CSVs "
+                         "(default: data_dir)")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -157,6 +165,14 @@ def main(argv=None) -> int:
     if stage == "optim-nnghs":
         report("optim-nnghs",
                steps.step_optim_nnghs(cfg, regions_path=args.regions))
+    if stage == "point":
+        if not args.points:
+            ap.error("point requires --points 'lon,lat;lon,lat;...'")
+        sites = [
+            tuple(float(v) for v in part.split(","))
+            for part in args.points.split(";") if part.strip()
+        ]
+        report("point", steps.step_point(cfg, sites, out_dir=args.out))
 
     if stage == "xval-interp":
         import numpy as np

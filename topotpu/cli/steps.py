@@ -307,6 +307,94 @@ def step_interp(cfg: TopoConfig, chunk_years: int = 0, ctx=None) -> dict:
     return eng.run_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX])
 
 
+# ----------------------------------------------------------- stage: point
+
+
+def step_point(cfg: TopoConfig, lonlat, out_dir: str | None = None) -> dict:
+    """Ad-hoc point interpolation — the reference's ``PtInterpTair`` usage
+    (SURVEY §2.14: interpolate daily tmin/tmax + uncertainty to arbitrary
+    lon/lat sites, e.g. a station location or a study plot) without running
+    the gridded production.
+
+    ``lonlat``: sequence of (lon, lat). Covariates are sampled from the
+    run's raster stack at the enclosing cell (the reference sampled its
+    rasters the same way). Writes, per variable, ``point_<var>_daily.csv``
+    (date x site calendar series) and ``point_<var>_normals.csv``
+    (12 normals + 12 standard errors per site) into ``out_dir`` (default
+    data_dir); returns the normals in the stage report."""
+    import csv
+
+    from topotpu.interp.point import interp_points, ungroup_days
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    rasters = RasterStack.load(p["rasters"])
+    lon = np.asarray([x for x, _ in lonlat], np.float64)
+    lat = np.asarray([y for _, y in lonlat], np.float64)
+    rows, cols = rasters.grid.rowcol(lon, lat)
+    R, Cc = rasters.grid.shape
+    if ((rows < 0) | (rows >= R) | (cols < 0) | (cols >= Cc)).any():
+        raise ValueError("point outside the run's grid")
+    off_land = ~rasters.landmask[rows, cols]
+    elev = rasters.elev[rows, cols]
+    tdi = rasters.tdi[rows, cols]
+    lst = rasters.lst[:, rows, cols].T  # (N, 12)
+
+    # pad the point batch so the fused TPU kernels see a lane-aligned cell
+    # count (interp_tile's Pallas path wants multiples of 512; padded
+    # points repeat site 0 and are dropped after)
+    N = len(lon)
+    pad = (-N) % 512
+    def _pad(a):
+        return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0) \
+            if pad else a
+
+    out_root = pathlib.Path(out_dir) if out_dir else p["root"]
+    out_root.mkdir(parents=True, exist_ok=True)
+    report: dict = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"serial_{var}"]
+        if not path.exists():
+            report[var] = {"status": "missing serial DB"}
+            continue
+        stations = _station_set(path, days)
+        res, layout = interp_points(
+            _pad(lon), _pad(lat), _pad(elev), _pad(tdi), _pad(lst),
+            stations, days, cfg.interp,
+        )
+        normal = np.asarray(res.normal)[:, :N]        # (12, N)
+        se = np.asarray(res.se)[:, :N]
+        ok = np.asarray(res.ok)[:, :N] & ~off_land[None, :]
+        daily = ungroup_days(
+            np.asarray(res.daily).transpose(1, 0, 2), layout
+        )[:N]                                          # (N, ndays)
+        normal = np.where(ok, normal, np.nan)
+        se = np.where(ok, se, np.nan)
+        daily = np.where(ok.all(0)[:, None], daily, np.nan)
+
+        with open(out_root / f"point_{var}_normals.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["lon", "lat"]
+                       + [f"norm_{m:02d}" for m in range(1, 13)]
+                       + [f"se_{m:02d}" for m in range(1, 13)])
+            for i in range(N):
+                w.writerow([lon[i], lat[i]] + [round(float(x), 3) for x in
+                           np.concatenate([normal[:, i], se[:, i]])])
+        with open(out_root / f"point_{var}_daily.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["date"] + [f"site{i}" for i in range(N)])
+            for t in range(days.ndays):
+                w.writerow([str(days.date64[t])]
+                           + [round(float(v), 2) for v in daily[:, t]])
+        report[var] = {
+            "sites": N,
+            "ok_sites": int(ok.all(0).sum()),
+            "annual_normal": [round(float(np.nanmean(normal[:, i])), 2)
+                              for i in range(N)],
+        }
+    return report
+
+
 # -------------------------------------------------------- stage: validate
 
 
