@@ -31,33 +31,32 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert by["validate"]["tmax"]["status"] == "ok"
     assert (tmp_path / "data" / "mosaic_tmin.h5").exists()
 
-    # packed tiles -> packed mosaic (int16, global scale); decode must
-    # match the tile values to within the coarser quantization step
+    # direct-to-mosaic production (the packed single-process default): the
+    # engine placed tiles straight into the final mosaic on the run-global
+    # pack grid — no per-tile files exist, and the mosaic carries the
+    # direct layout + finalization attrs
     import h5py
     import numpy as np
 
     from topotpu.io.ncdf import read_var
 
+    assert not list((tmp_path / "data" / "tiles").glob("*_tile*.h5"))
     with h5py.File(tmp_path / "data" / "mosaic_tmin.h5") as f:
         assert f["tmin"].dtype == np.int16
+        assert f.attrs["layout"] == "direct"
+        assert bool(f.attrs["complete"]) and bool(f.attrs["reconciled"])
         g_scale = float(f["tmin"].attrs["scale_factor"])
+    # run-global int16 grid == the config pack window
+    assert np.isclose(
+        g_scale, (cfg.pack_temp_hi - cfg.pack_temp_lo) / 65500.0
+    )
     mosaic_daily = read_var(tmp_path / "data" / "mosaic_tmin.h5", "tmin")
-    tile_daily = read_var(
-        tmp_path / "data" / "tiles" / "tmin_tile00000.h5", "tmin"
-    )
-    fin = np.isfinite(tile_daily)
-    assert np.array_equal(fin, np.isfinite(mosaic_daily[:, :24, :24]))
-    # exclude cells the cross-variable reconcile may have midpoint-shifted
-    # in the mosaic (tile files keep the original values)
-    tile_tmax = read_var(
-        tmp_path / "data" / "tiles" / "tmax_tile00000.h5", "tmax"
-    )
-    crossing = np.nan_to_num(tile_tmax - tile_daily, nan=1.0) < 0
-    cmp = fin & ~crossing
-    assert (
-        np.abs(mosaic_daily[:, :24, :24] - tile_daily)[cmp].max()
-        <= g_scale + 1e-6
-    )
+    mosaic_tmax = read_var(tmp_path / "data" / "mosaic_tmax.h5", "tmax")
+    fin = np.isfinite(mosaic_daily)
+    assert np.array_equal(fin, np.isfinite(mosaic_tmax))
+    # device-side reconcile on the SHARED lattice: tmax >= tmin exactly
+    # (the two-step path only promises it within a quantization step)
+    assert (mosaic_tmax[fin] >= mosaic_daily[fin]).all()
 
     rc = main(["xval-interp", "--config", str(cfg_path)])
     assert rc == 0

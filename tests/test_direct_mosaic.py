@@ -1,0 +1,223 @@
+"""Direct-to-mosaic production mode (TileEngine + io.ncdf.MosaicWriter):
+tiles land straight in the final mosaic on a run-global int16 grid, with
+manifest-based resume and device-side cross-variable reconcile. Must match
+the two-step per-tile-file path within quantization."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from topotpu.core.config import TopoConfig, InterpParams, MeshParams
+from topotpu.core.dates import get_days_metadata
+from topotpu.dist.engine import TileEngine, StationSet
+from topotpu.io.ncdf import read_var
+from topotpu.io.rasters import RasterStack
+from topotpu.io.synthetic import make_world
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(43)
+    days = get_days_metadata("2014-01-01", "2015-12-31")  # 2 years
+    world = make_world(rng, nrows=48, ncols=48, n_stations=60,
+                       ndays=days.ndays)
+    rasters = RasterStack.from_world(world)
+    nug, ps, rg = world.true_vario
+    a = StationSet(
+        lon=world.stn_lon, lat=world.stn_lat, elev=world.stn_elev,
+        tdi=world.stn_tdi, lst=world.stn_lst, norm=world.stn_norm,
+        vario=np.tile(np.array([nug, ps, rg], np.float32), (60, 12, 1)),
+        valid=np.ones((60, 12), bool),
+        anoms=world.stn_anoms.astype(np.float32),
+    )
+    # +9 C offset keeps daily tmax > tmin everywhere (anoms span a few C),
+    # so the device reconcile is a no-op and parity checks stay clean
+    b = dataclasses.replace(
+        a, norm=a.norm + 9.0, anoms=(a.anoms * 0.85).astype(np.float32)
+    )
+    return world, days, rasters, a, b
+
+
+def _config():
+    return TopoConfig(
+        start_date="2014-01-01", end_date="2015-12-31",
+        tile_rows=24, tile_cols=24,   # 48x48 world -> 4 tiles
+        interp=InterpParams(k_neighbors=16, max_tile_stations=64),
+        mesh=MeshParams(n_devices=8),
+    )
+
+
+def _mosaic_paths(d):
+    return {v: d / f"mosaic_{v}.h5" for v in ("tmin", "tmax")}
+
+
+def _direct_engine(cfg, rasters, days, out_dir):
+    out_dir.mkdir(parents=True, exist_ok=True)
+    return TileEngine(cfg, rasters, days, out_dir / "tiles",
+                      mosaic_paths=_mosaic_paths(out_dir))
+
+
+def test_direct_matches_two_step(tmp_path, setup):
+    world, days, rasters, a, b = setup
+    cfg = _config()
+
+    eng_d = _direct_engine(cfg, rasters, days, tmp_path / "direct")
+    assert eng_d._direct
+    assert eng_d.run_pair("tmin", "tmax", a, b, progress=False) == {
+        "tmin": 4, "tmax": 4
+    }
+    # no per-tile files in direct mode — the mosaic IS the output
+    assert not list((tmp_path / "direct" / "tiles").glob("*_tile*.h5"))
+
+    eng_t = TileEngine(cfg, rasters, days, tmp_path / "twostep")
+    assert not eng_t._direct  # no mosaic paths -> per-tile files
+    eng_t.run_pair("tmin", "tmax", a, b, progress=False)
+
+    import h5py
+
+    from topotpu.core.grid import Tiling
+
+    tiling = Tiling(rasters.grid, 24, 24)
+    g_step = (cfg.pack_temp_hi - cfg.pack_temp_lo) / 65500.0
+    for var in ("tmin", "tmax"):
+        mp = tmp_path / "direct" / f"mosaic_{var}.h5"
+        with h5py.File(mp) as f:
+            assert f.attrs["layout"] == "direct"
+            assert bool(f.attrs["complete"])
+            assert bool(f.attrs["reconciled"])
+            assert f.attrs["n_tiles"] == 4
+            assert f[var].dtype == np.int16
+        m_daily = read_var(mp, var)
+        m_norm = read_var(mp, "normal")
+        m_se = read_var(mp, "se")
+        for ts in tiling.land_tiles(rasters.landmask):
+            tf = tmp_path / "twostep" / f"{var}_tile{ts.tile_id:05d}.h5"
+            sl = (slice(ts.row0, ts.row0 + ts.nrows),
+                  slice(ts.col0, ts.col0 + ts.ncols))
+            t_daily = read_var(tf, var)
+            fin = np.isfinite(t_daily)
+            assert np.array_equal(fin, np.isfinite(m_daily[(slice(None),) + sl]))
+            # per-tile dynamic grid vs run-global grid: half a step of each
+            with h5py.File(tf) as f:
+                t_step = abs(float(f[var].attrs.get("scale_factor", 0.0)))
+            eps = 0.5 * (g_step + t_step) + 1e-5
+            assert (
+                np.abs(m_daily[(slice(None),) + sl] - t_daily)[fin].max()
+                <= eps
+            )
+            np.testing.assert_allclose(
+                np.nan_to_num(m_norm[(slice(None),) + sl]),
+                np.nan_to_num(read_var(tf, f"{var}_normal")),
+                atol=5e-3,
+            )
+            np.testing.assert_allclose(
+                np.nan_to_num(m_se[(slice(None),) + sl]),
+                np.nan_to_num(read_var(tf, f"{var}_se")),
+                atol=5e-3,
+            )
+
+
+def test_direct_resume_and_fresh_invalidation(tmp_path, setup):
+    world, days, rasters, a, b = setup
+    cfg = _config()
+
+    eng = _direct_engine(cfg, rasters, days, tmp_path / "run")
+    assert eng.run_pair("tmin", "tmax", a, b, progress=False)["tmin"] == 4
+    before = read_var(tmp_path / "run" / "mosaic_tmin.h5", "tmin")
+
+    # resume semantics: drop two tiles' manifest claims -> exactly those
+    # tiles recompute (idempotent in-place rewrite), product unchanged
+    man_path = tmp_path / "run" / "tiles" / "manifest.json"
+    man = json.loads(man_path.read_text())
+    dropped = [k for k in list(man["tiles"]) if k.endswith("00001")]
+    assert len(dropped) == 2  # tmin_00001 + tmax_00001
+    for k in dropped:
+        del man["tiles"][k]
+    man_path.write_text(json.dumps(man))
+    eng2 = _direct_engine(cfg, rasters, days, tmp_path / "run")
+    assert eng2.run_pair("tmin", "tmax", a, b, progress=False)["tmin"] == 1
+    after = read_var(tmp_path / "run" / "mosaic_tmin.h5", "tmin")
+    fin = np.isfinite(before)
+    assert np.array_equal(fin, np.isfinite(after))
+    assert np.array_equal(
+        np.nan_to_num(before), np.nan_to_num(after)
+    )  # same lattice -> bitwise
+
+    # a changed pack window makes old int16 undecodable on the new grid:
+    # the writer must rebuild and the engine must drop ALL manifest claims
+    cfg2 = dataclasses.replace(cfg, pack_temp_lo=-80.0)
+    eng3 = _direct_engine(cfg2, rasters, days, tmp_path / "run")
+    assert eng3.run_pair("tmin", "tmax", a, b, progress=False)["tmin"] == 4
+    rebuilt = read_var(tmp_path / "run" / "mosaic_tmin.h5", "tmin")
+    assert np.allclose(
+        np.nan_to_num(rebuilt), np.nan_to_num(before), atol=5e-3
+    )
+
+
+def test_direct_chunked_production(tmp_path, setup):
+    """run_production_pair in direct mode: every chunk writes its day range
+    of ONE full-span mosaic; normals land once; resume stays per-chunk."""
+    world, days, rasters, a, b = setup
+    cfg = _config()
+
+    eng_c = _direct_engine(cfg, rasters, days, tmp_path / "chunked")
+    assert eng_c.run_production_pair(
+        "tmin", "tmax", a, b, years_per_chunk=1, progress=False
+    ) == {"tmin": 8, "tmax": 8}  # 2 chunks x 4 tiles
+
+    eng_f = _direct_engine(cfg, rasters, days, tmp_path / "fullspan")
+    eng_f.run_pair("tmin", "tmax", a, b, progress=False)
+
+    import h5py
+
+    g_step = (cfg.pack_temp_hi - cfg.pack_temp_lo) / 65500.0
+    for var in ("tmin", "tmax"):
+        cp = tmp_path / "chunked" / f"mosaic_{var}.h5"
+        with h5py.File(cp) as f:
+            assert bool(f.attrs["complete"]) and bool(f.attrs["reconciled"])
+            assert f[var].shape[0] == days.ndays  # full span, one file
+        d_c = read_var(cp, var)
+        d_f = read_var(tmp_path / "fullspan" / f"mosaic_{var}.h5", var)
+        fin = np.isfinite(d_f)
+        assert np.array_equal(fin, np.isfinite(d_c))
+        # same lattice; chunked anomaly windows differ only by float-assoc
+        assert np.abs(d_c - d_f)[fin].max() <= g_step + 1e-5
+        np.testing.assert_allclose(
+            np.nan_to_num(read_var(cp, "normal")),
+            np.nan_to_num(
+                read_var(tmp_path / "fullspan" / f"mosaic_{var}.h5", "normal")
+            ),
+            atol=1e-4,
+        )
+
+    # per-chunk resume: wipe one chunk's manifest -> only its 4 tile-pairs
+    # recompute, into the same mosaic
+    man = (tmp_path / "chunked" / "tiles" / "chunk_2015_2015"
+           / "manifest.json")
+    man.write_text(json.dumps({"tiles": {}}))
+    eng_c2 = _direct_engine(cfg, rasters, days, tmp_path / "chunked")
+    assert eng_c2.run_production_pair(
+        "tmin", "tmax", a, b, years_per_chunk=1, progress=False
+    ) == {"tmin": 4, "tmax": 4}
+
+
+def test_direct_reconcile_on_device(tmp_path, setup):
+    """Adversarial crossings (tmax ~ tmin - 0.5): the device-side reconcile
+    must leave tmax >= tmin EXACTLY in the packed mosaic (shared lattice)
+    and collapse crossings to their midpoint."""
+    world, days, rasters, a, _ = setup
+    bad_b = dataclasses.replace(a, norm=a.norm - 0.5)
+    cfg = _config()
+
+    eng = _direct_engine(cfg, rasters, days, tmp_path / "x")
+    eng.run_pair("tmin", "tmax", a, bad_b, progress=False)
+    d_min = read_var(tmp_path / "x" / "mosaic_tmin.h5", "tmin")
+    d_max = read_var(tmp_path / "x" / "mosaic_tmax.h5", "tmax")
+    fin = np.isfinite(d_min) & np.isfinite(d_max)
+    assert fin.any()
+    assert (d_max[fin] >= d_min[fin]).all()
+    # crossings collapsed to a shared value (midpoint): equal after packing
+    eq = d_max[fin] == d_min[fin]
+    assert eq.mean() > 0.5  # -0.5 C offset: most cells crossed

@@ -295,7 +295,13 @@ def step_interp(cfg: TopoConfig, chunk_years: int = 0, ctx=None) -> dict:
     p = _paths(cfg)
     days = _days(cfg)
     rasters = RasterStack.load(p["rasters"])
-    eng = TileEngine(cfg, rasters, days, p["tiles"], ctx=ctx)
+    # direct-to-mosaic (cfg.mosaic_direct, single-process packed runs): the
+    # engine writes finished tiles straight into these final mosaic files
+    # and the mosaic stage reduces to a finalization check
+    eng = TileEngine(
+        cfg, rasters, days, p["tiles"], ctx=ctx,
+        mosaic_paths={v: p[f"mosaic_{v}"] for v in (C.TMIN, C.TMAX)},
+    )
     sets = {v: _station_set(p[f"serial_{v}"], days) for v in (C.TMIN, C.TMAX)}
     # Both variables per tile in ONE device pass when the station sets share
     # geometry/validity (the standard pipeline); run_pair falls back to two
@@ -695,6 +701,42 @@ def step_mosaic(cfg: TopoConfig) -> dict:
     merge_manifests(p["tiles"])
     for chunk_dir in sorted(p["tiles"].glob("chunk_*_*")):
         merge_manifests(chunk_dir)
+
+    # Direct-to-mosaic runs (TileEngine wrote tiles straight into the final
+    # mosaics on the run-global pack grid): assembly already happened during
+    # interp — this stage just checks finalization and applies the host
+    # cross-variable reconcile iff the engine couldn't do it on device
+    # (unpairable station sets fell back to two single-variable passes).
+    direct = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"mosaic_{var}"]
+        if not path.exists():
+            continue
+        with h5py.File(path, "r") as f:
+            if f.attrs.get("layout") != "direct":
+                continue
+            direct[var] = {
+                "complete": bool(f.attrs.get("complete", False)),
+                "reconciled": bool(f.attrs.get("reconciled", False)),
+                "n_tiles": int(f.attrs.get("n_tiles", 0)),
+            }
+    if direct and cfg.mosaic_direct:
+        if set(direct) != {C.TMIN, C.TMAX} or not all(
+            d["complete"] for d in direct.values()
+        ):
+            raise RuntimeError(
+                "direct-mode mosaic incomplete — rerun the interp stage "
+                "(its manifest resumes from the finished tiles)"
+            )
+        out = {v: direct[v]["n_tiles"] for v in direct}
+        if not all(d["reconciled"] for d in direct.values()):
+            out["crossvar"] = reconcile_cross_variable(
+                p[f"mosaic_{C.TMIN}"], p[f"mosaic_{C.TMAX}"]
+            )
+            for var in (C.TMIN, C.TMAX):
+                with h5py.File(p[f"mosaic_{var}"], "r+") as f:
+                    f.attrs["reconciled"] = True
+        return out
     from topotpu.io.ncdf import FILL_I16
 
     def _tile_pack_bounds(path, name):

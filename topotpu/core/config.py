@@ -82,6 +82,20 @@ class TopoConfig:
     # 12.8k cells/s end-to-end) — default off, raise for archival runs.
     output_compress: int = 0   # tile gzip level; 0 = fastest writes
     output_pack: bool = True   # int16 scale/offset packing
+    # Direct-to-mosaic production: the engine's writer thread places each
+    # finished tile straight into the final mosaic file on a RUN-GLOBAL
+    # int16 grid (the pack_* bounds below), skipping per-tile files and the
+    # whole mosaic copy/requantization pass. Applies to single-process
+    # packed runs; multi-host runs keep per-tile files (one HDF5 writer per
+    # file) and assemble at the mosaic stage as before.
+    mosaic_direct: bool = True
+    # Run-global int16 pack window for daily values and normals, in C.
+    # Physical-extreme margins (world records are approx -89/+57 C): the
+    # 160 C span quantizes at 160/65500 ~= 2.4e-3 C — half-step error
+    # 1.2e-3 C, far inside every accuracy bar. Values outside clip.
+    pack_temp_lo: float = -90.0
+    pack_temp_hi: float = 70.0
+    pack_se_hi: float = 32.0   # kriging-se pack window is [0, pack_se_hi]
     interp: InterpParams = dataclasses.field(default_factory=InterpParams)
     variogram: VariogramParams = dataclasses.field(default_factory=VariogramParams)
     ppca: PPCAParams = dataclasses.field(default_factory=PPCAParams)

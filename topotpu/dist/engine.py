@@ -84,6 +84,7 @@ class TileEngine:
         mesh=None,
         margin_km: float = 250.0,
         ctx=None,
+        mosaic_paths: dict[str, pathlib.Path] | None = None,
     ):
         from topotpu.dist.multihost import MultihostContext
 
@@ -149,9 +150,25 @@ class TileEngine:
         # layout conversion (not host CPU) dominate the write path, and a
         # single flat fetch measures ~1.7x faster per byte than per-field.
         self._flat = bool(config.output_pack)
+        # Direct-to-mosaic mode: writer thread places tiles straight into
+        # the final mosaic on the run-global pack grid (io.ncdf.MosaicWriter
+        # docstring has the full story). Requires the packed path, a single
+        # process (one HDF5 writer per file), and knowing the mosaic paths.
+        self.mosaic_paths = dict(mosaic_paths or {})
+        self._direct = bool(
+            self._flat and config.mosaic_direct
+            and self.ctx.process_count == 1 and self.mosaic_paths
+        )
+        self._mosaic: dict = {}       # var -> open MosaicWriter
+        self._mosaic_fresh: set = set()  # vars whose mosaic was (re)created
+        self._mosaic_owned = True     # chunk sub-engines borrow the parent's
+        self.mosaic_t0 = 0            # time offset (chunked production)
+        self._full_dates = None       # parent's full calendar for chunk subs
         if self._flat:
             self._fns = {
-                flag: sharded_interp_tile_flat(mesh, config.interp, flag)
+                flag: sharded_interp_tile_flat(
+                    mesh, config.interp, flag, fixed=self._direct
+                )
                 for flag in (False, True)
             }
         else:
@@ -163,21 +180,91 @@ class TileEngine:
         self._shard = lambda ti: shard_tile_inputs(mesh, ti)
         self._pair_fns: dict | None = None  # built lazily by run_pair
 
-    def _get_pair_fn(self, shared: bool):
+    def _get_pair_fn(self, shared: bool, reconcile: bool = False):
         from topotpu.dist.mesh import (
             shard_pair_inputs,
             sharded_interp_tile_pair_flat,
         )
 
         if self._pair_fns is None:
-            self._pair_fns = {
-                flag: sharded_interp_tile_pair_flat(
-                    self.mesh, self.config.interp, flag
-                )
-                for flag in (False, True)
-            }
+            self._pair_fns = {}
             self._shard_pair = lambda p: shard_pair_inputs(self.mesh, p)
-        return self._pair_fns[shared]
+        key = (shared, reconcile, self._direct)
+        if key not in self._pair_fns:
+            self._pair_fns[key] = sharded_interp_tile_pair_flat(
+                self.mesh, self.config.interp, shared,
+                fixed=self._direct, reconcile=reconcile,
+            )
+        return self._pair_fns[key]
+
+    # ------------------------------------------------- direct-mosaic output
+    def _fixed_scales(self, n_vars: int = 1) -> np.ndarray:
+        """Run-global int16 pack grid (config pack bounds): (6*n_vars,) f32
+        of per-plane (scale, offset) — dailies and normals on the temperature
+        window, se on [0, pack_se_hi]. Passed to the device step as a jit
+        ARGUMENT (tunnel rule: no big/varying closure constants — and this
+        keeps one compiled program across runs with different bounds)."""
+        cfg = self.config
+        d_scale = (cfg.pack_temp_hi - cfg.pack_temp_lo) / 65500.0
+        d_off = 0.5 * (cfg.pack_temp_hi + cfg.pack_temp_lo)
+        s_scale = cfg.pack_se_hi / 65500.0
+        s_off = 0.5 * cfg.pack_se_hi
+        one = np.array(
+            [d_scale, d_off, d_scale, d_off, s_scale, s_off], np.float32
+        )
+        return np.tile(one, n_vars)
+
+    def _open_mosaic(self, var: str):
+        """Open/create the direct-mode mosaic for ``var``. MAIN thread only,
+        before the pipeline starts (the writer thread then has exclusive
+        use); a recreated (fresh) mosaic invalidates manifest entries that
+        claimed tiles the old file held."""
+        if var in self._mosaic:
+            return self._mosaic[var]
+        from topotpu.io.ncdf import MosaicWriter
+
+        sc = self._fixed_scales()
+        dates = (
+            self._full_dates if self._full_dates is not None
+            else self.days.date64
+        )
+        w = MosaicWriter(
+            self.mosaic_paths[var], var, self.rasters.grid, dates,
+            float(sc[0]), float(sc[1]),
+            self.config.tile_rows, self.config.tile_cols,
+            compress=self.config.output_compress,
+        )
+        if w.fresh:
+            self._mosaic_fresh.add(var)
+            self._drop_manifest_var(var)
+        self._mosaic[var] = w
+        return w
+
+    def _drop_manifest_var(self, var: str) -> None:
+        """Invalidate manifest claims for ``var`` (the mosaic holding its
+        data was recreated, so 'done' entries point at vanished tiles)."""
+        stale = [k for k in self.manifest["tiles"]
+                 if k.startswith(var + "_")]
+        for k in stale:
+            del self.manifest["tiles"][k]
+        if stale:
+            self._save_manifest()
+
+    def _close_mosaics(self, reconciled: bool = False,
+                       finalize: bool = True) -> None:
+        """``finalize=False`` (error path): release the HDF5 handles without
+        stamping ``complete`` — the manifest keeps the resume state."""
+        if not self._mosaic_owned:
+            return
+        if finalize and self._mosaic:
+            n_land = sum(
+                1 for _ in self.tiling.land_tiles(self.rasters.landmask)
+            )
+            for w in self._mosaic.values():
+                w.finalize(n_land, reconciled=reconciled)
+        for w in self._mosaic.values():
+            w.close()
+        self._mosaic.clear()
 
     # files below this size skip writeback pacing (test-size tiles: the
     # per-file fdatasync latency would dominate, and small runs never hit
@@ -243,7 +330,12 @@ class TileEngine:
 
         if self._flat:
             slot = jnp.asarray(self.layout.slot_of_day, jnp.int32)
-            fut = self._fn(self._shard(task.inputs), slot)
+            if self._direct:
+                fut = self._fn(
+                    self._shard(task.inputs), slot, self._fixed_scales()
+                )
+            else:
+                fut = self._fn(self._shard(task.inputs), slot)
             self._try_prefetch(fut.buf, fut.scales)
             return fut
         return self._fn(self._shard(task.inputs))
@@ -260,8 +352,10 @@ class TileEngine:
         entry not yet on disk merely stays pending across a crash, and the
         write is idempotent."""
         self.manifest["tiles"][key] = info
-        if not save:
-            return
+        if save:
+            self._save_manifest()
+
+    def _save_manifest(self):
         tmp = self.manifest_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(self.manifest, indent=0))
         tmp.replace(self.manifest_path)
@@ -272,13 +366,19 @@ class TileEngine:
     def _tile_file(self, spec: TileSpec, var: str) -> pathlib.Path:
         return self.out_dir / f"{var}_tile{spec.tile_id:05d}.h5"
 
+    def _tile_done(self, spec: TileSpec, var: str) -> bool:
+        """Manifest + data-presence check. Direct mode holds data inside
+        the mosaic (whose _open_mosaic freshness check already invalidated
+        the manifest if the file was lost), so the manifest alone decides."""
+        if self._tile_key(spec, var) not in self.manifest["tiles"]:
+            return False
+        return self._direct or self._tile_file(spec, var).exists()
+
     def pending_tiles(self, var: str) -> Iterator[TileSpec]:
         for ts in self.tiling.land_tiles(self.rasters.landmask):
             if not self.ctx.owns_tile(ts.tile_id):
                 continue
-            key = self._tile_key(ts, var)
-            done = self.manifest["tiles"].get(key)
-            if done and self._tile_file(ts, var).exists():
+            if self._tile_done(ts, var):
                 continue
             yield ts
 
@@ -358,6 +458,57 @@ class TileEngine:
         return TileTask(spec=spec, inputs=ti, pool_idx=pool)
 
     # ------------------------------------------------------------- writing
+    def _write_tile_direct(
+        self, spec: TileSpec, var: str, result, save_manifest: bool = True
+    ) -> None:
+        """Direct mode: place the fetched buffer's planes straight into the
+        final mosaic (all tiles share the run-global int16 grid, so the
+        daily slab is written raw — zero decode or requantization). Normals
+        and se land as f32 (decoded from 24 small planes) to keep the mosaic
+        dataset layout identical to the assembled two-step one; a chunked
+        run writes them only from its first chunk (identical across chunks:
+        they derive from the full-period station normals)."""
+        from topotpu.io.ncdf import FILL_I16
+
+        cfg = self.config
+        tr, tc = cfg.tile_rows, cfg.tile_cols
+        nr, nc = spec.nrows, spec.ncols
+        ndays = self.days.ndays
+
+        buf = np.asarray(result.buf)
+        sc = np.asarray(result.scales)
+        daily = buf[:ndays].reshape(ndays, tr, tc)[:, :nr, :nc]
+        nq = buf[ndays : ndays + 12].reshape(12, tr, tc)[:, :nr, :nc]
+        okm = nq != FILL_I16
+        normal = se = None
+        if self.mosaic_t0 == 0:
+            sq = buf[ndays + 12 : ndays + 24].reshape(12, tr, tc)[:, :nr, :nc]
+            normal = np.where(
+                okm, nq.astype(np.float32) * float(sc[2]) + float(sc[3]),
+                np.nan,
+            )
+            se = np.where(
+                okm, sq.astype(np.float32) * float(sc[4]) + float(sc[5]),
+                np.nan,
+            )
+        w = self._mosaic[var]  # opened by run/run_pair on the main thread
+        w.write_tile(spec.row0, spec.col0, daily, normal, se,
+                     t0=self.mosaic_t0)
+        self._pace_writeback(w.path)
+        land = self.rasters.landmask[
+            spec.row0 : spec.row0 + nr, spec.col0 : spec.col0 + nc
+        ]
+        self._record_tile(
+            self._tile_key(spec, var),
+            {
+                "file": w.path.name,
+                "cells": int(land.sum()),
+                "ok_cells": int(okm.all(0).sum()),
+                "ts": time.time(),
+            },
+            save=save_manifest,
+        )
+
     def _write_tile_flat(
         self, spec: TileSpec, var: str, result, save_manifest: bool = True
     ) -> None:
@@ -365,6 +516,8 @@ class TileEngine:
         into HDF5 datasets — no host decode/pack/reorder pass at all."""
         from topotpu.io.ncdf import FILL_I16
 
+        if self._direct:
+            return self._write_tile_direct(spec, var, result, save_manifest)
         cfg = self.config
         tr, tc = cfg.tile_rows, cfg.tile_cols
         nr, nc = spec.nrows, spec.ncols
@@ -549,38 +702,69 @@ class TileEngine:
         buffer stays ~years_per_chunk*31*12*C floats instead of the whole
         1948-2016 span). Each chunk gets its own engine rooted at
         out_dir/chunk_YYYY_YYYY with independent manifest resume; the mosaic
-        step concatenates chunk time axes."""
+        step concatenates chunk time axes (direct mode: each chunk writes
+        its day range of the ONE full-span mosaic at its time offset)."""
         years = self.days.years
         n_done = 0
-        for c0 in range(0, len(years), years_per_chunk):
-            span = years[c0 : c0 + years_per_chunk]
-            # clamp chunk bounds to the configured span so a start/end date
-            # not aligned to year boundaries keeps the sliced anomaly axis
-            # and the chunk calendar the same length
-            d0 = max(np.datetime64(f"{span[0]}-01-01"), self.days.date64[0])
-            d1 = min(np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1])
-            from topotpu.core.dates import get_days_metadata
+        if self._direct:
+            self._open_mosaic(var)  # full-span file, parent's calendar
+        try:
+            for c0 in range(0, len(years), years_per_chunk):
+                span = years[c0 : c0 + years_per_chunk]
+                # clamp chunk bounds to the configured span so a start/end
+                # date not aligned to year boundaries keeps the sliced
+                # anomaly axis and the chunk calendar the same length
+                d0 = max(
+                    np.datetime64(f"{span[0]}-01-01"), self.days.date64[0]
+                )
+                d1 = min(
+                    np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1]
+                )
+                from topotpu.core.dates import get_days_metadata
 
-            sub_days = get_days_metadata(str(d0), str(d1))
-            day_sel = (self.days.year >= span[0]) & (self.days.year <= span[-1])
-            sub_stations = dataclasses.replace(
-                stations, anoms=stations.anoms[:, day_sel]
-            )
-            sub = TileEngine(
-                self.config,
-                self.rasters,
-                sub_days,
-                self.out_dir / f"chunk_{span[0]}_{span[-1]}",
-                mesh=self.mesh,
-                margin_km=self.margin_km,
-                ctx=self.ctx,
-            )
-            # reuse this engine's compiled steps (same static shapes when
-            # the chunk has the same dpm; else the jit cache recompiles once)
-            sub._fns = self._fns
-            sub._shard = self._shard
-            n_done += sub.run(var, sub_stations, progress=progress)
+                sub_days = get_days_metadata(str(d0), str(d1))
+                day_sel = (
+                    (self.days.year >= span[0]) & (self.days.year <= span[-1])
+                )
+                sub_stations = dataclasses.replace(
+                    stations, anoms=stations.anoms[:, day_sel]
+                )
+                sub = self._chunk_engine(span, sub_days, day_sel)
+                # reuse this engine's compiled steps (same static shapes
+                # when the chunk has the same dpm; else the jit cache
+                # recompiles once)
+                sub._fns = self._fns
+                sub._shard = self._shard
+                n_done += sub.run(var, sub_stations, progress=progress)
+        except BaseException:
+            self._close_mosaics(finalize=False)
+            raise
+        self._close_mosaics(reconciled=False)
         return n_done
+
+    def _chunk_engine(self, span, sub_days, day_sel) -> "TileEngine":
+        """A per-chunk sub-engine rooted at its own manifest dir. Direct
+        mode: the chunk borrows the parent's open full-span mosaics and
+        writes at its day offset; a parent-side fresh rebuild invalidates
+        the chunk's manifest claims too."""
+        sub = TileEngine(
+            self.config,
+            self.rasters,
+            sub_days,
+            self.out_dir / f"chunk_{span[0]}_{span[-1]}",
+            mesh=self.mesh,
+            margin_km=self.margin_km,
+            ctx=self.ctx,
+            mosaic_paths=self.mosaic_paths,
+        )
+        if self._direct:
+            sub._mosaic = self._mosaic
+            sub._mosaic_owned = False
+            sub._full_dates = self.days.date64
+            sub.mosaic_t0 = int(np.flatnonzero(day_sel)[0])
+            for v in self._mosaic_fresh:
+                sub._drop_manifest_var(v)
+        return sub
 
     # ----------------------------------------------------------- paired run
     @staticmethod
@@ -662,35 +846,48 @@ class TileEngine:
         shared = bool(
             np.all(stations_a.valid == stations_a.valid[:, :1])
         )
-        fn = self._get_pair_fn(shared)
+        # Direct mode reconciles daily tmin<=tmax ON DEVICE (var A must be
+        # tmin — the CLI's call order): with the run-global shared pack grid
+        # both variables quantize the collapsed midpoint to the same int16
+        # lattice point, so the mosaic stage's whole reconcile pass vanishes.
+        fn = self._get_pair_fn(shared, reconcile=self._direct)
+        if self._direct:
+            for v in (var_a, var_b):
+                self._open_mosaic(v)
         slot = jnp.asarray(self.layout.slot_of_day, jnp.int32)
-        done = self.manifest["tiles"]
         pending = [
             ts
             for ts in self.tiling.land_tiles(self.rasters.landmask)
             if self.ctx.owns_tile(ts.tile_id)
-            and not all(
-                self._tile_key(ts, v) in done
-                and self._tile_file(ts, v).exists()
-                for v in (var_a, var_b)
-            )
+            and not all(self._tile_done(ts, v) for v in (var_a, var_b))
         ]
         status = StatusCheck(
             total=len(pending), unit="tiles", enabled=progress,
             items_per=2 * self.config.tile_rows * self.config.tile_cols,
         )
+        fixed = self._fixed_scales(2) if self._direct else None
 
         def step(spec):
             task, pair = self.prepare_pair(spec, stations_a, stations_b)
-            fut = fn(self._shard_pair(pair), slot)
+            if fixed is not None:
+                fut = fn(self._shard_pair(pair), slot, fixed)
+            else:
+                fut = fn(self._shard_pair(pair), slot)
             self._try_prefetch(fut.buf, fut.scales)
             return task.spec, fut
 
-        n_done = self._pipelined(
-            pending, step,
-            lambda spec, fut: self._write_tile_pair(spec, var_a, var_b, fut),
-            status,
-        )
+        try:
+            n_done = self._pipelined(
+                pending, step,
+                lambda spec, fut: self._write_tile_pair(
+                    spec, var_a, var_b, fut
+                ),
+                status,
+            )
+        except BaseException:
+            self._close_mosaics(finalize=False)
+            raise
+        self._close_mosaics(reconciled=True)
         return {var_a: n_done, var_b: n_done}
 
     def run_production_pair(
@@ -707,44 +904,57 @@ class TileEngine:
         tile counts summed over chunks."""
         years = self.days.years
         n_done = {var_a: 0, var_b: 0}
-        for c0 in range(0, len(years), years_per_chunk):
-            span = years[c0 : c0 + years_per_chunk]
-            d0 = max(np.datetime64(f"{span[0]}-01-01"), self.days.date64[0])
-            d1 = min(np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1])
-            from topotpu.core.dates import get_days_metadata
+        if self._direct:
+            for v in (var_a, var_b):
+                self._open_mosaic(v)
+        try:
+            for c0 in range(0, len(years), years_per_chunk):
+                span = years[c0 : c0 + years_per_chunk]
+                d0 = max(
+                    np.datetime64(f"{span[0]}-01-01"), self.days.date64[0]
+                )
+                d1 = min(
+                    np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1]
+                )
+                from topotpu.core.dates import get_days_metadata
 
-            sub_days = get_days_metadata(str(d0), str(d1))
-            day_sel = (self.days.year >= span[0]) & (self.days.year <= span[-1])
-            sub = TileEngine(
-                self.config,
-                self.rasters,
-                sub_days,
-                self.out_dir / f"chunk_{span[0]}_{span[-1]}",
-                mesh=self.mesh,
-                margin_km=self.margin_km,
-                ctx=self.ctx,
-            )
-            sub._fns = self._fns
-            sub._shard = self._shard
-            if self._pair_fns is not None:
-                sub._pair_fns = self._pair_fns
-                sub._shard_pair = self._shard_pair
-            chunk_done = sub.run_pair(
-                var_a,
-                var_b,
-                dataclasses.replace(
-                    stations_a, anoms=stations_a.anoms[:, day_sel]
-                ),
-                dataclasses.replace(
-                    stations_b, anoms=stations_b.anoms[:, day_sel]
-                ),
-                progress=progress,
-            )
-            for v, c in chunk_done.items():
-                n_done[v] += c
-            if sub._pair_fns is not None:
-                self._pair_fns = sub._pair_fns
-                self._shard_pair = sub._shard_pair
+                sub_days = get_days_metadata(str(d0), str(d1))
+                day_sel = (
+                    (self.days.year >= span[0]) & (self.days.year <= span[-1])
+                )
+                sub = self._chunk_engine(span, sub_days, day_sel)
+                sub._fns = self._fns
+                sub._shard = self._shard
+                if self._pair_fns is not None:
+                    sub._pair_fns = self._pair_fns
+                    sub._shard_pair = self._shard_pair
+                chunk_done = sub.run_pair(
+                    var_a,
+                    var_b,
+                    dataclasses.replace(
+                        stations_a, anoms=stations_a.anoms[:, day_sel]
+                    ),
+                    dataclasses.replace(
+                        stations_b, anoms=stations_b.anoms[:, day_sel]
+                    ),
+                    progress=progress,
+                )
+                for v, c in chunk_done.items():
+                    n_done[v] += c
+                if sub._pair_fns is not None:
+                    self._pair_fns = sub._pair_fns
+                    self._shard_pair = sub._shard_pair
+        except BaseException:
+            self._close_mosaics(finalize=False)
+            raise
+        # each chunk's run_pair reconciled its day range on device — unless
+        # the sets aren't pairable and every chunk fell back to two single
+        # runs (anoms slicing never changes geometry/validity, so checking
+        # the full sets here decides it for all chunks); the mosaic stage's
+        # direct branch host-reconciles unreconciled pairs
+        self._close_mosaics(
+            reconciled=self._pairable(stations_a, stations_b)
+        )
         return n_done
 
     # ------------------------------------------------------------- main loop
@@ -752,6 +962,8 @@ class TileEngine:
         """Interpolate all pending tiles for one variable. Returns #tiles."""
         shared = bool(np.all(stations.valid == stations.valid[:, :1]))
         self._fn = self._fns[shared]
+        if self._direct:
+            self._open_mosaic(var)  # main thread, before the writer starts
         pending = list(self.pending_tiles(var))
         status = StatusCheck(
             total=len(pending), unit="tiles", enabled=progress,
@@ -762,8 +974,17 @@ class TileEngine:
             task = self.prepare(spec, stations)
             return task.spec, self._dispatch(task)
 
-        return self._pipelined(
-            pending, step,
-            lambda spec, fut: self._write_tile(spec, var, fut),
-            status,
-        )
+        try:
+            n_done = self._pipelined(
+                pending, step,
+                lambda spec, fut: self._write_tile(spec, var, fut),
+                status,
+            )
+        except BaseException:
+            self._close_mosaics(finalize=False)
+            raise
+        # single-variable runs carry no cross-variable reconcile; the mosaic
+        # stage's direct branch applies the host reconcile pass when both
+        # variables' mosaics exist unreconciled
+        self._close_mosaics(reconciled=False)
+        return n_done

@@ -92,7 +92,8 @@ def sharded_interp_tile(
 
 
 def sharded_interp_tile_flat(
-    mesh: Mesh, params: InterpParams, shared_validity: bool = False
+    mesh: Mesh, params: InterpParams, shared_validity: bool = False,
+    fixed: bool = False,
 ):
     """SPMD production step with the single-buffer int16 output.
 
@@ -101,20 +102,41 @@ def sharded_interp_tile_flat(
     buffer keeps the cell axis sharded so each device quantizes and reorders
     its own shard. Returns ``fn(TileInputs, slot_of_day) -> FlatTileResult``
     where slot_of_day is the (ndays,) calendar->grouped-slot map (replicated).
-    """
+
+    ``fixed``: quantize on a caller-supplied run-global int16 grid instead —
+    the returned fn takes a third (6,) f32 ``fixed_scales`` argument
+    (replicated), and the program emits ZERO collectives (the pmin/pmax
+    pair of the dynamic path were the only ones). Used by the engine's
+    direct-to-mosaic mode, where every tile must share one lattice."""
     from topotpu.interp.point import FlatTileResult, interp_tile_flat
 
     fn = shard_map(
         functools.partial(
             interp_tile_flat, params=params,
-            shared_validity=shared_validity, mesh_axis=CELL_AXIS,
+            shared_validity=shared_validity,
+            mesh_axis=None if fixed else CELL_AXIS,
+        )
+        if not fixed else
+        functools.partial(
+            _flat_fixed_adapter, params=params,
+            shared_validity=shared_validity,
         ),
         mesh=mesh,
-        in_specs=(tile_input_specs(), P()),
+        in_specs=(tile_input_specs(), P()) + ((P(),) if fixed else ()),
         out_specs=FlatTileResult(buf=P(None, CELL_AXIS), scales=P()),
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def _flat_fixed_adapter(inputs, slot_of_day, fixed_scales, *, params,
+                        shared_validity):
+    from topotpu.interp.point import interp_tile_flat
+
+    return interp_tile_flat(
+        inputs, slot_of_day, params, shared_validity=shared_validity,
+        mesh_axis=None, fixed_scales=fixed_scales,
+    )
 
 
 def pair_input_specs():
@@ -129,7 +151,8 @@ def pair_input_specs():
 
 
 def sharded_interp_tile_pair_flat(
-    mesh: Mesh, params: InterpParams, shared_validity: bool = False
+    mesh: Mesh, params: InterpParams, shared_validity: bool = False,
+    fixed: bool = False, reconcile: bool = False,
 ):
     """SPMD production step for BOTH variables at once (tmin + tmax).
 
@@ -138,20 +161,42 @@ def sharded_interp_tile_pair_flat(
     (interp.point._interp_tile_multi), and the whole two-variable product
     leaves the device as ONE flat int16 buffer (one fetch RPC).
     Returns ``fn(PairTileInputs, slot_of_day) -> FlatTileResult`` with
-    buf (2*(ndays+24), C) and scales (12,)."""
+    buf (2*(ndays+24), C) and scales (12,).
+
+    ``fixed``: run-global pack grid — the fn takes a third (12,) f32
+    ``fixed_scales`` argument and emits zero collectives (see
+    sharded_interp_tile_flat). ``reconcile``: device-side daily tmin<=tmax
+    midpoint fix (interp_tile_pair_flat; var A must be tmin)."""
     from topotpu.interp.point import FlatTileResult, interp_tile_pair_flat
 
     fn = shard_map(
         functools.partial(
             interp_tile_pair_flat, params=params,
-            shared_validity=shared_validity, mesh_axis=CELL_AXIS,
+            shared_validity=shared_validity,
+            mesh_axis=None if fixed else CELL_AXIS,
+            reconcile=reconcile,
+        )
+        if not fixed else
+        functools.partial(
+            _pair_fixed_adapter, params=params,
+            shared_validity=shared_validity, reconcile=reconcile,
         ),
         mesh=mesh,
-        in_specs=(pair_input_specs(), P()),
+        in_specs=(pair_input_specs(), P()) + ((P(),) if fixed else ()),
         out_specs=FlatTileResult(buf=P(None, CELL_AXIS), scales=P()),
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def _pair_fixed_adapter(pair, slot_of_day, fixed_scales, *, params,
+                        shared_validity, reconcile):
+    from topotpu.interp.point import interp_tile_pair_flat
+
+    return interp_tile_pair_flat(
+        pair, slot_of_day, params, shared_validity=shared_validity,
+        mesh_axis=None, fixed_scales=fixed_scales, reconcile=reconcile,
+    )
 
 
 def shard_pair_inputs(mesh: Mesh, pair):

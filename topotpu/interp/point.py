@@ -107,6 +107,19 @@ def _quantize_plane(x, valid, mesh_axis):
     return q, scale.astype(jnp.float32), offset.astype(jnp.float32)
 
 
+def _quantize_plane_fixed(x, valid, scale, offset):
+    """int16-quantize x on a CALLER-CHOSEN scale/offset grid (runtime jit
+    args). With a run-global grid every tile lands on the same int16
+    lattice, so the host can place fetched buffers straight into the final
+    mosaic with zero requantization — and the pmin/pmax reductions of the
+    dynamic path disappear, making the packed program fully collective-free.
+    Values outside the representable window clip to the bound (the window is
+    chosen with physical-extreme margins, so clipping marks a config error,
+    not data loss — see core.config pack bounds)."""
+    q = jnp.clip(jnp.round((x - offset) / scale), -32767, 32767)
+    return jnp.where(valid, q.astype(jnp.int16), jnp.int16(PACK_SENTINEL))
+
+
 def _local_xy_km(lon, lat, ref_lat_deg):
     """Equirectangular local offsets in km — GWR locational covariates.
 
@@ -496,6 +509,7 @@ def interp_tile_flat(
     params: InterpParams,
     shared_validity: bool = False,
     mesh_axis: str | None = None,
+    fixed_scales: jnp.ndarray | None = None,
 ) -> FlatTileResult:
     """Production-mode tile interpolation: one flat int16 output buffer.
 
@@ -515,7 +529,7 @@ def interp_tile_flat(
     # the sentinel is applied per-month inside _quantize_plane so it
     # survives the gather, and padding slots are never selected by
     # slot_of_day.
-    buf, scales = _flatten_result(res, slot_of_day, mesh_axis)
+    buf, scales = _flatten_result(res, slot_of_day, mesh_axis, fixed_scales)
     return FlatTileResult(buf=buf, scales=scales)
 
 
@@ -534,19 +548,35 @@ def interp_tile_pair(
     return res[0], res[1]
 
 
-def _flatten_result(res: TileResult, slot_of_day, mesh_axis):
-    """Quantize + calendar-reorder one TileResult into flat-buffer planes."""
+def _flatten_result(res: TileResult, slot_of_day, mesh_axis, fixed_scales=None):
+    """Quantize + calendar-reorder one TileResult into flat-buffer planes.
+
+    ``fixed_scales`` (optional (6,) f32 jit arg: d_scale, d_off, n_scale,
+    n_off, se_scale, se_off) switches quantization to the caller's global
+    int16 grid (see _quantize_plane_fixed); the returned scales echo it."""
     C = res.normal.shape[1]
     dpm = res.daily.shape[-1]
     valid3 = res.ok[:, :, None]
-    dq, d_scale, d_off = _quantize_plane(res.daily, valid3, mesh_axis)
+    if fixed_scales is not None:
+        dq = _quantize_plane_fixed(
+            res.daily, valid3, fixed_scales[0], fixed_scales[1]
+        )
+        nq = _quantize_plane_fixed(
+            res.normal, res.ok, fixed_scales[2], fixed_scales[3]
+        )
+        sq = _quantize_plane_fixed(
+            res.se, res.ok, fixed_scales[4], fixed_scales[5]
+        )
+        scales = fixed_scales
+    else:
+        dq, d_scale, d_off = _quantize_plane(res.daily, valid3, mesh_axis)
+        nq, n_scale, n_off = _quantize_plane(res.normal, res.ok, mesh_axis)
+        sq, s_scale, s_off = _quantize_plane(res.se, res.ok, mesh_axis)
+        scales = jnp.stack([d_scale, d_off, n_scale, n_off, s_scale, s_off])
     cal = jnp.transpose(dq, (0, 2, 1)).reshape(12 * dpm, C)[
         jnp.asarray(slot_of_day, jnp.int32)
     ]
-    nq, n_scale, n_off = _quantize_plane(res.normal, res.ok, mesh_axis)
-    sq, s_scale, s_off = _quantize_plane(res.se, res.ok, mesh_axis)
     buf = jnp.concatenate([cal, nq, sq], axis=0)
-    scales = jnp.stack([d_scale, d_off, n_scale, n_off, s_scale, s_off])
     return buf, scales
 
 
@@ -556,15 +586,35 @@ def interp_tile_pair_flat(
     params: InterpParams,
     shared_validity: bool = False,
     mesh_axis: str | None = None,
+    fixed_scales: jnp.ndarray | None = None,
+    reconcile: bool = False,
 ) -> FlatTileResult:
     """Production-mode paired step: BOTH variables leave the device as ONE
     flat int16 buffer (one fetch RPC on the tunneled link instead of two).
 
     Layout: var A's (ndays + 24, C) block (see FlatTileResult) followed by
-    var B's; ``scales`` is var A's 6 floats then var B's."""
+    var B's; ``scales`` is var A's 6 floats then var B's (or the caller's
+    (12,) ``fixed_scales``, echoed).
+
+    ``reconcile`` (static): enforce daily A <= daily B where both cells are
+    ok by collapsing crossings to their mean-preserving midpoint — the
+    reference's PtInterpTair tmax>tmin validation (SURVEY §2.14), applied at
+    interpolation time in f32 instead of as a mosaic post-pass. The engine
+    passes tmin as var A. With fixed (shared) pack scales both variables
+    quantize the midpoint to the SAME int16 lattice point, so the ordering
+    survives packing exactly; normals are left untouched (matching the
+    mosaic-stage reconcile this replaces)."""
     res_a, res_b = interp_tile_pair(pair, params, shared_validity)
-    buf_a, sc_a = _flatten_result(res_a, slot_of_day, mesh_axis)
-    buf_b, sc_b = _flatten_result(res_b, slot_of_day, mesh_axis)
+    if reconcile:
+        both = (res_a.ok & res_b.ok)[:, :, None]
+        bad = both & (res_b.daily < res_a.daily)
+        mid = 0.5 * (res_a.daily + res_b.daily)
+        res_a = res_a._replace(daily=jnp.where(bad, mid, res_a.daily))
+        res_b = res_b._replace(daily=jnp.where(bad, mid, res_b.daily))
+    fs_a = None if fixed_scales is None else fixed_scales[:6]
+    fs_b = None if fixed_scales is None else fixed_scales[6:]
+    buf_a, sc_a = _flatten_result(res_a, slot_of_day, mesh_axis, fs_a)
+    buf_b, sc_b = _flatten_result(res_b, slot_of_day, mesh_axis, fs_b)
     return FlatTileResult(
         buf=jnp.concatenate([buf_a, buf_b], axis=0),
         scales=jnp.concatenate([sc_a, sc_b]),

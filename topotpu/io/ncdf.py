@@ -55,6 +55,28 @@ def _pack_int16(data: np.ndarray, valid_mask: np.ndarray | None):
     return packed, scale, offset
 
 
+def _write_coords(f: h5py.File, grid: GridSpec, dates: np.ndarray):
+    """CF dimension scales + file attrs shared by tile and mosaic writers."""
+    lat = grid.lat0 - np.arange(grid.nrows) * grid.cellsize
+    lon = grid.lon0 + np.arange(grid.ncols) * grid.cellsize
+    epoch = np.datetime64("1948-01-01", "D")
+    time = (dates - epoch).astype(np.int32)
+
+    for name, data, units, std in (
+        ("lat", lat.astype(np.float64), "degrees_north", "latitude"),
+        ("lon", lon.astype(np.float64), "degrees_east", "longitude"),
+        ("time", time, "days since 1948-01-01 00:00:00", "time"),
+        ("mth", np.arange(1, 13, dtype=np.int32), "month of year", "month"),
+    ):
+        d = f.create_dataset(name, data=data)
+        d.make_scale(name)
+        d.attrs["units"] = units
+        d.attrs["standard_name"] = std
+    f.attrs["Conventions"] = "CF-1.6"
+    f.attrs["source"] = "topotpu"
+    f.attrs["cellsize"] = grid.cellsize
+
+
 class TileWriter:
     """Write one tile's interpolation products as a netCDF4-style HDF5 file."""
 
@@ -83,26 +105,7 @@ class TileWriter:
         return {}
 
     def _init_coords(self):
-        f = self._f
-        g = self.subgrid
-        lat = g.lat0 - np.arange(g.nrows) * g.cellsize
-        lon = g.lon0 + np.arange(g.ncols) * g.cellsize
-        epoch = np.datetime64("1948-01-01", "D")
-        time = (self.dates - epoch).astype(np.int32)
-
-        for name, data, units, std in (
-            ("lat", lat.astype(np.float64), "degrees_north", "latitude"),
-            ("lon", lon.astype(np.float64), "degrees_east", "longitude"),
-            ("time", time, "days since 1948-01-01 00:00:00", "time"),
-            ("mth", np.arange(1, 13, dtype=np.int32), "month of year", "month"),
-        ):
-            d = f.create_dataset(name, data=data)
-            d.make_scale(name)
-            d.attrs["units"] = units
-            d.attrs["standard_name"] = std
-        f.attrs["Conventions"] = "CF-1.6"
-        f.attrs["source"] = "topotpu"
-        f.attrs["cellsize"] = self.subgrid.cellsize
+        _write_coords(self._f, self.subgrid, self.dates)
 
     def write_daily(self, name: str, data: np.ndarray, units="C", long_name=""):
         """data: (ndays, nrows, ncols) float; NaN = masked."""
@@ -187,6 +190,138 @@ class TileWriter:
         else:  # leave no half-written artifact behind
             self._f.close()
             self.tmp.unlink(missing_ok=True)
+
+
+class MosaicWriter:
+    """Incremental full-grid mosaic written tile-by-tile (direct-to-mosaic
+    production mode).
+
+    The two-step path (per-tile files assembled by the mosaic stage) reads
+    and rewrites the entire product once more after interpolation — ~58 GB
+    of extra IO plus a host requantization pass at the 4096^2 north-star
+    scale, where the mosaic stage alone cost 1550 s. With every tile packed
+    on one run-global int16 grid (interp.point._quantize_plane_fixed), the
+    engine's writer thread can instead place each fetched tile buffer
+    straight into the final mosaic datasets, and the mosaic stage reduces
+    to attribute finalization.
+
+    Trade-off vs per-tile files: a mosaic being written is not atomic (no
+    tmp+rename at this size); the engine's manifest is the completeness
+    record — exactly as it already is for tiles — and tile-region writes
+    are idempotent, so a crashed run resumes by rewriting pending tiles in
+    place. ``layout="direct"`` + per-variable ``complete`` attrs mark the
+    finalized state for downstream stages.
+
+    Single-writer discipline: ONE process (the engine's writer thread) may
+    hold a mosaic open; multi-host runs must keep per-tile files.
+    """
+
+    def __init__(
+        self,
+        path: str | pathlib.Path,
+        var: str,
+        grid: GridSpec,
+        dates: np.ndarray,
+        daily_scale: float,
+        daily_offset: float,
+        tile_rows: int,
+        tile_cols: int,
+        compress: int = 0,
+    ):
+        self.path = pathlib.Path(path)
+        self.var = var
+        ndays = len(dates)
+        R, Cc = grid.nrows, grid.ncols
+        # fresh=True means no prior tile data survived — the engine must
+        # then ignore manifest entries for this variable (they would claim
+        # tiles the recreated file no longer holds)
+        self.fresh = True
+        if self.path.exists():
+            try:
+                f = h5py.File(self.path, "r+")
+            except OSError:  # half-written/corrupt file from a crash
+                self.path.unlink()
+            else:
+                ok = (
+                    var in f
+                    and f[var].shape == (ndays, R, Cc)
+                    and "normal" in f
+                    # a changed pack grid (config edit between runs) makes
+                    # old int16 data undecodable on the new grid — rebuild
+                    # (attrs are stored f32; compare at f32 resolution)
+                    and float(f[var].attrs.get("scale_factor", 0.0))
+                    == float(np.float32(daily_scale))
+                    and float(f[var].attrs.get("add_offset", np.nan))
+                    == float(np.float32(daily_offset))
+                )
+                if ok:  # resume: keep already-written tiles
+                    self._f = f
+                    self.fresh = False
+                    return
+                f.close()
+                self.path.unlink()
+        self._f = h5py.File(self.path, "w")
+        f = self._f
+        _write_coords(f, grid, dates)
+        copts = (
+            dict(compression="gzip", compression_opts=compress)
+            if compress else {}
+        )
+        for name, ln in (("normal", "monthly normal"),
+                         ("se", "kriging standard error")):
+            d = f.create_dataset(
+                name, (12, R, Cc), np.float32, fillvalue=np.nan,
+                chunks=(12, min(tile_rows, R), min(tile_cols, Cc)), **copts,
+            )
+            d.attrs["units"] = "C"
+            d.attrs["long_name"] = ln
+            _attach_dims(f, d, ("mth", "lat", "lon"))
+        d = f.create_dataset(
+            var, (ndays, R, Cc), np.int16, fillvalue=FILL_I16,
+            chunks=(min(32, ndays), min(tile_rows, R), min(tile_cols, Cc)),
+            **copts,
+        )
+        d.attrs["scale_factor"] = np.float32(daily_scale)
+        d.attrs["add_offset"] = np.float32(daily_offset)
+        d.attrs["_FillValue"] = FILL_I16
+        d.attrs["units"] = "C"
+        d.attrs["long_name"] = f"daily {var}"
+        _attach_dims(f, d, ("time", "lat", "lon"))
+        f.attrs["layout"] = "direct"
+
+    def write_tile(
+        self,
+        row0: int,
+        col0: int,
+        daily_i16: np.ndarray,      # (nt, nr, nc) on the run-global grid
+        normal: np.ndarray | None,  # (12, nr, nc) f32, NaN-masked
+        se: np.ndarray | None,
+        t0: int = 0,                # time offset (chunked production)
+    ) -> None:
+        f = self._f
+        nt, nr, nc = daily_i16.shape
+        sl = (slice(row0, row0 + nr), slice(col0, col0 + nc))
+        f[self.var][(slice(t0, t0 + nt),) + sl] = daily_i16
+        if normal is not None:
+            f["normal"][(slice(None),) + sl] = normal
+            f["se"][(slice(None),) + sl] = se
+        # flush library buffers so the engine's writeback pacing
+        # (fdatasync on a separate fd) sees this tile's pages
+        f.flush()
+
+    def finalize(self, n_tiles: int, reconciled: bool) -> None:
+        self._f.attrs["n_tiles"] = n_tiles
+        self._f.attrs["complete"] = True
+        self._f.attrs["reconciled"] = bool(reconciled)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def decode_array(data: np.ndarray, dset) -> np.ndarray:
