@@ -221,3 +221,34 @@ def test_direct_reconcile_on_device(tmp_path, setup):
     # crossings collapsed to a shared value (midpoint): equal after packing
     eq = d_max[fin] == d_min[fin]
     assert eq.mean() > 0.5  # -0.5 C offset: most cells crossed
+
+
+def test_direct_swapped_order_skips_device_reconcile(tmp_path, setup):
+    """The device reconcile enforces var_b >= var_a, so a (tmax, tmin)
+    call order must NOT engage it (it would enforce tmin >= tmax); the
+    mosaics complete but stay marked unreconciled for the mosaic stage's
+    host reconcile pass."""
+    world, days, rasters, a, b = setup
+    cfg = _config()
+
+    eng = _direct_engine(cfg, rasters, days, tmp_path / "swap")
+    assert eng.run_pair("tmax", "tmin", b, a, progress=False) == {
+        "tmax": 4, "tmin": 4
+    }
+    import h5py
+
+    for var in ("tmin", "tmax"):
+        with h5py.File(tmp_path / "swap" / f"mosaic_{var}.h5") as f:
+            assert bool(f.attrs["complete"])
+            assert not bool(f.attrs["reconciled"])
+
+    # b > a everywhere (the +9 C fixture), so with the reconcile correctly
+    # disabled the swapped run reproduces the normal-order values exactly
+    # (same lattice, reconcile a no-op there too)
+    eng_n = _direct_engine(cfg, rasters, days, tmp_path / "norm")
+    eng_n.run_pair("tmin", "tmax", a, b, progress=False)
+    for var in ("tmin", "tmax"):
+        s = read_var(tmp_path / "swap" / f"mosaic_{var}.h5", var)
+        n = read_var(tmp_path / "norm" / f"mosaic_{var}.h5", var)
+        assert np.array_equal(np.isfinite(s), np.isfinite(n))
+        assert np.array_equal(np.nan_to_num(s), np.nan_to_num(n))

@@ -846,11 +846,17 @@ class TileEngine:
         shared = bool(
             np.all(stations_a.valid == stations_a.valid[:, :1])
         )
-        # Direct mode reconciles daily tmin<=tmax ON DEVICE (var A must be
-        # tmin — the CLI's call order): with the run-global shared pack grid
-        # both variables quantize the collapsed midpoint to the same int16
-        # lattice point, so the mosaic stage's whole reconcile pass vanishes.
-        fn = self._get_pair_fn(shared, reconcile=self._direct)
+        # Direct mode reconciles daily tmin<=tmax ON DEVICE: with the
+        # run-global shared pack grid both variables quantize the collapsed
+        # midpoint to the same int16 lattice point, so the mosaic stage's
+        # whole reconcile pass vanishes. The device kernel enforces
+        # var_b >= var_a, so gate it on the actual (tmin, tmax) call order —
+        # any other pairing leaves the mosaics marked unreconciled and the
+        # mosaic stage's direct branch applies the host reconcile instead.
+        from topotpu.core import constants as _C
+
+        reconcile = self._direct and (var_a, var_b) == (_C.TMIN, _C.TMAX)
+        fn = self._get_pair_fn(shared, reconcile=reconcile)
         if self._direct:
             for v in (var_a, var_b):
                 self._open_mosaic(v)
@@ -887,7 +893,7 @@ class TileEngine:
         except BaseException:
             self._close_mosaics(finalize=False)
             raise
-        self._close_mosaics(reconciled=True)
+        self._close_mosaics(reconciled=reconcile)
         return {var_a: n_done, var_b: n_done}
 
     def run_production_pair(
@@ -948,12 +954,16 @@ class TileEngine:
             self._close_mosaics(finalize=False)
             raise
         # each chunk's run_pair reconciled its day range on device — unless
-        # the sets aren't pairable and every chunk fell back to two single
-        # runs (anoms slicing never changes geometry/validity, so checking
-        # the full sets here decides it for all chunks); the mosaic stage's
-        # direct branch host-reconciles unreconciled pairs
+        # the sets aren't pairable (every chunk then fell back to two single
+        # runs; anoms slicing never changes geometry/validity, so checking
+        # the full sets here decides it for all chunks) or the call order
+        # isn't (tmin, tmax); the mosaic stage's direct branch
+        # host-reconciles unreconciled pairs
+        from topotpu.core import constants as _C
+
         self._close_mosaics(
             reconciled=self._pairable(stations_a, stations_b)
+            and (var_a, var_b) == (_C.TMIN, _C.TMAX)
         )
         return n_done
 
