@@ -252,3 +252,64 @@ def test_direct_swapped_order_skips_device_reconcile(tmp_path, setup):
         n = read_var(tmp_path / "norm" / f"mosaic_{var}.h5", var)
         assert np.array_equal(np.isfinite(s), np.isfinite(n))
         assert np.array_equal(np.nan_to_num(s), np.nan_to_num(n))
+
+
+def test_stale_direct_mosaic_does_not_mask_newer_tiles(tmp_path, setup):
+    """A completed direct-mode mosaic left on disk must not short-circuit
+    the mosaic stage after a LATER interp run wrote per-tile output (e.g.
+    output_pack switched off for f32 archival tiles while mosaic_direct
+    stays at its default True). The engine manifests record where the
+    newest data lives; the mosaic stage must assemble the newer tiles."""
+    import dataclasses as dc
+
+    from topotpu.cli.steps import step_mosaic
+
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    d = tmp_path / "stale"
+    # 1) direct run: complete+reconciled mosaics, mosaic-backed claims
+    eng = _direct_engine(cfg, rasters, days, d)
+    eng.run_pair("tmin", "tmax", a, b, progress=False)
+
+    # 2) later per-tile run in the same data dir with SHIFTED values, so
+    # the stale mosaic and the fresh tiles are distinguishable
+    b2 = dataclasses.replace(b, norm=b.norm + 2.0)
+    cfg_tiles = dc.replace(cfg, output_pack=False)
+    eng2 = TileEngine(cfg_tiles, rasters, days, d / "tiles")
+    assert not eng2._direct
+    eng2.run_pair("tmin", "tmax", a, b2, progress=False)
+
+    # 3) mosaic stage with the ORIGINAL config (mosaic_direct=True): must
+    # rebuild from the newer tiles, not early-return on the stale attrs
+    rasters.save(d / "rasters.h5")
+    cfg_mos = dc.replace(cfg, data_dir=str(d))
+    step_mosaic(cfg_mos)
+
+    got = read_var(d / "mosaic_tmax.h5", "normal")
+    fin = np.isfinite(got)
+    assert fin.any()
+    # tile normals came from b2 = b + 2.0; the stale direct mosaic held b.
+    # Rebuild happened iff the mosaic tracks the shifted field.
+    eng3 = _direct_engine(cfg, rasters, days, tmp_path / "ref2")
+    eng3.run_pair("tmin", "tmax", a, b2, progress=False)
+    ref = read_var(tmp_path / "ref2" / "mosaic_tmax.h5", "normal")
+    assert np.nanmean(np.abs(got - ref)) < 0.05, (
+        "mosaic stage served the stale direct mosaic instead of "
+        "assembling the newer per-tile output"
+    )
+
+
+def test_direct_tile_done_requires_mosaic_backed_claim(tmp_path, setup):
+    """In direct mode a manifest claim marks a tile done only if it points
+    at THIS mosaic: a claim recorded by an earlier per-tile run does not
+    put the tile's data into the mosaic, so it must be recomputed."""
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    eng = _direct_engine(cfg, rasters, days, tmp_path / "gate")
+    spec = next(eng.tiling.land_tiles(rasters.landmask))
+    key = eng._tile_key(spec, "tmin")
+
+    eng.manifest["tiles"][key] = {"file": "tmin_tile00000.h5", "ts": 1.0}
+    assert not eng._tile_done(spec, "tmin")
+    eng.manifest["tiles"][key] = {"file": "mosaic_tmin.h5", "ts": 2.0}
+    assert eng._tile_done(spec, "tmin")

@@ -203,32 +203,32 @@ def test_merge_attributions_rules():
     args = dict(need=4, date_tol=6, minseg=24)
 
     # full quorum in one element: accepted there, not elsewhere
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(50, 4)], "tmax": []}, **args
     )
     assert acc == {"tmin": [50], "tmax": []}
 
     # one vote short, corroborated by a near-quorum cluster at the same
     # date in the other element: accepted in both (multi-element confirm)
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(50, 3)], "tmax": [(53, 3)]}, **args
     )
     assert acc == {"tmin": [50], "tmax": [53]}
 
     # one vote short, no corroboration: rejected
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(50, 3)], "tmax": [(120, 3)]}, **args
     )
     assert acc == {"tmin": [], "tmax": []}
 
     # two votes short is never rescued
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(50, 2)], "tmax": [(50, 8)]}, **args
     )
     assert acc == {"tmin": [], "tmax": [50]}
 
     # minseg thinning keeps the earliest of a too-close pair
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(50, 5), (60, 5), (90, 5)], "tmax": []}, **args
     )
     assert acc["tmin"] == [50, 90]
@@ -322,23 +322,23 @@ def test_metadata_window_no_phantom_adjustment(daily_network):
 def test_merge_attributions_documented():
     args = dict(need=4, date_tol=6, minseg=24)
     # sub-quorum cluster near a documented date: snapped to it and accepted
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(50, 1)], "tmax": []}, documented=(48,), **args
     )
     assert acc == {"tmin": [48], "tmax": [48]}
     # documented date with no cluster: injected into every element
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [], "tmax": []}, documented=(100,), **args
     )
     assert acc == {"tmin": [100], "tmax": [100]}
     # far from any documented date: blind rules apply untouched
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(50, 2)], "tmax": []}, documented=(100,), **args
     )
     assert acc == {"tmin": [100], "tmax": [100]}
     # a displaced full-quorum cluster within minseg of a documented date
     # must not crowd it out of the thinning (documented date wins)
-    acc = merge_attributions(
+    acc, _ = merge_attributions(
         {"tmin": [(120, 8)], "tmax": []}, documented=(132,), **args
     )
     assert acc == {"tmin": [132], "tmax": [132]}
@@ -389,3 +389,56 @@ def test_monthly_means_sparse_guard(daily_network):
     assert np.isnan(monthly[0, 0])
     assert len(keys) == 144
     assert np.isfinite(monthly[1]).all()
+
+
+def test_no_signal_documented_date_cannot_swallow_blind_break(daily_network):
+    """A documented note with NO step signature (e.g. a time-of-observation
+    change) lying within minseg — but beyond date_tol — of a genuine
+    full-quorum SNHT break must not suppress or displace the blind
+    adjustment. Mid-series, the freely-placed SNHT position is the stronger
+    evidence, so the informed result must equal the blind result exactly."""
+    world, days, daily = daily_network
+    rng = np.random.default_rng(55)
+    for amp, sig, doff in [(1.5, 0.0, 15), (1.0, 2.0, 15), (0.9, 2.0, 18)]:
+        noisy = (daily + rng.normal(0, sig, daily.shape)).astype(np.float32)
+        split = int(np.flatnonzero(days.ymd == 20100101)[0])
+        noisy[3, :split] += amp  # genuine break near month 72
+        blind = homogenize_network(
+            noisy, days.year, days.month, world.stn_lon, world.stn_lat
+        )
+        assert blind.breakpoints[3], "fixture must produce a blind break"
+        d = 72 + doff  # documented no-signal date: date_tol < doff < minseg
+        informed = homogenize_network(
+            noisy, days.year, days.month, world.stn_lon, world.stn_lat,
+            station_history={3: [int((2004 + d // 12) * 12 + d % 12)]},
+        )
+        assert informed.breakpoints[3] == blind.breakpoints[3], (
+            f"amp={amp} sig={sig} d={d}: metadata changed the adjustment "
+            f"{blind.breakpoints[3]} -> {informed.breakpoints[3]}"
+        )
+
+
+def test_merge_attributions_fallback_and_position_evidence():
+    # need=4, date_tol=6, minseg=24, 144-month series
+    args = dict(need=4, date_tol=6, minseg=24, n_months=144)
+    # guard-band-constrained cluster (center at the 120 = n-minseg edge):
+    # documented date wins, displaced candidate recorded as its fallback
+    acc, fb = merge_attributions(
+        {"tmin": [(120, 8)], "tmax": []}, documented=(132,), **args
+    )
+    assert acc == {"tmin": [132], "tmax": [132]}
+    assert fb["tmin"] == {132: 120}
+    # freely-placed mid-series full-quorum cluster: the blind position is
+    # the evidence; the no-snap documented date yields entirely
+    acc, fb = merge_attributions(
+        {"tmin": [(72, 8)], "tmax": []}, documented=(87,), **args
+    )
+    assert acc["tmin"] == [72]
+    assert fb["tmin"] == {}
+    # without n_months the geometry is unknown: documented always wins
+    acc, fb = merge_attributions(
+        {"tmin": [(72, 8)], "tmax": []}, documented=(87,),
+        need=4, date_tol=6, minseg=24,
+    )
+    assert acc["tmin"] == [87]
+    assert fb["tmin"] == {87: 72}

@@ -749,7 +749,33 @@ def step_mosaic(cfg: TopoConfig) -> dict:
                 "reconciled": bool(f.attrs.get("reconciled", False)),
                 "n_tiles": int(f.attrs.get("n_tiles", 0)),
             }
-    if direct and cfg.mosaic_direct:
+    def _latest_layout():
+        """'direct' / 'tiles' / None — where the most recent interp run put
+        its data, decided from the engine manifests (the source of truth).
+        Mosaic attrs alone can be stale: a completed direct mosaic left on
+        disk must not short-circuit assembly of per-tile output written by
+        a LATER interp run in a per-tile configuration."""
+        import json as _json
+
+        mans = [p["tiles"] / "manifest.json"] + [
+            d / "manifest.json" for d in sorted(p["tiles"].glob("chunk_*_*"))
+        ]
+        newest = {"direct": -1.0, "tiles": -1.0}
+        for m in mans:
+            if not m.exists():
+                continue
+            for info in _json.loads(m.read_text()).get("tiles", {}).values():
+                kind = (
+                    "direct"
+                    if str(info.get("file", "")).startswith("mosaic_")
+                    else "tiles"
+                )
+                newest[kind] = max(newest[kind], float(info.get("ts", 0.0)))
+        if newest["direct"] < 0 and newest["tiles"] < 0:
+            return None
+        return "direct" if newest["direct"] >= newest["tiles"] else "tiles"
+
+    if direct and cfg.mosaic_direct and _latest_layout() != "tiles":
         if set(direct) != {C.TMIN, C.TMAX} or not all(
             d["complete"] for d in direct.values()
         ):

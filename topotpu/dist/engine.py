@@ -237,14 +237,32 @@ class TileEngine:
         if w.fresh:
             self._mosaic_fresh.add(var)
             self._drop_manifest_var(var)
+            n_tile_claims = sum(
+                1 for k in self.manifest["tiles"] if k.startswith(var + "_")
+            )
+            if n_tile_claims:
+                print(
+                    f"[engine] NOTE: starting a fresh direct-mode mosaic for "
+                    f"{var} while the manifest holds {n_tile_claims} completed "
+                    f"per-tile claims; direct mode recomputes those tiles "
+                    f"into the mosaic (to reuse the tile files instead, run "
+                    f"the mosaic stage with mosaic_direct=false)",
+                    flush=True,
+                )
         self._mosaic[var] = w
         return w
 
     def _drop_manifest_var(self, var: str) -> None:
-        """Invalidate manifest claims for ``var`` (the mosaic holding its
-        data was recreated, so 'done' entries point at vanished tiles)."""
-        stale = [k for k in self.manifest["tiles"]
-                 if k.startswith(var + "_")]
+        """Invalidate manifest claims for ``var`` whose data lived in the
+        just-recreated mosaic. Claims that point at per-tile files are NOT
+        dropped — those files still exist on disk and remain valid state
+        for a per-tile resume or a tile-merge mosaic pass (mode switches
+        must not silently destroy the manifest-is-checkpoint contract)."""
+        mosaic_name = self.mosaic_paths[var].name
+        stale = [
+            k for k, info in self.manifest["tiles"].items()
+            if k.startswith(var + "_") and info.get("file") == mosaic_name
+        ]
         for k in stale:
             del self.manifest["tiles"][k]
         if stale:
@@ -369,10 +387,16 @@ class TileEngine:
     def _tile_done(self, spec: TileSpec, var: str) -> bool:
         """Manifest + data-presence check. Direct mode holds data inside
         the mosaic (whose _open_mosaic freshness check already invalidated
-        the manifest if the file was lost), so the manifest alone decides."""
-        if self._tile_key(spec, var) not in self.manifest["tiles"]:
+        mosaic-backed claims if the file was lost), so a claim counts only
+        if it points at THIS mosaic — a claim recorded by an earlier
+        per-tile run does not put the tile's data into the mosaic.
+        Per-tile mode checks the tile file on disk."""
+        info = self.manifest["tiles"].get(self._tile_key(spec, var))
+        if info is None:
             return False
-        return self._direct or self._tile_file(spec, var).exists()
+        if self._direct:
+            return info.get("file") == self.mosaic_paths[var].name
+        return self._tile_file(spec, var).exists()
 
     def pending_tiles(self, var: str) -> Iterator[TileSpec]:
         for ts in self.tiling.land_tiles(self.rasters.landmask):
@@ -704,43 +728,48 @@ class TileEngine:
         out_dir/chunk_YYYY_YYYY with independent manifest resume; the mosaic
         step concatenates chunk time axes (direct mode: each chunk writes
         its day range of the ONE full-span mosaic at its time offset)."""
-        years = self.days.years
         n_done = 0
         if self._direct:
             self._open_mosaic(var)  # full-span file, parent's calendar
         try:
-            for c0 in range(0, len(years), years_per_chunk):
-                span = years[c0 : c0 + years_per_chunk]
-                # clamp chunk bounds to the configured span so a start/end
-                # date not aligned to year boundaries keeps the sliced
-                # anomaly axis and the chunk calendar the same length
-                d0 = max(
-                    np.datetime64(f"{span[0]}-01-01"), self.days.date64[0]
+            for sub, day_sel in self._iter_chunk_engines(years_per_chunk):
+                n_done += sub.run(
+                    var,
+                    dataclasses.replace(
+                        stations, anoms=stations.anoms[:, day_sel]
+                    ),
+                    progress=progress,
                 )
-                d1 = min(
-                    np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1]
-                )
-                from topotpu.core.dates import get_days_metadata
-
-                sub_days = get_days_metadata(str(d0), str(d1))
-                day_sel = (
-                    (self.days.year >= span[0]) & (self.days.year <= span[-1])
-                )
-                sub_stations = dataclasses.replace(
-                    stations, anoms=stations.anoms[:, day_sel]
-                )
-                sub = self._chunk_engine(span, sub_days, day_sel)
-                # reuse this engine's compiled steps (same static shapes
-                # when the chunk has the same dpm; else the jit cache
-                # recompiles once)
-                sub._fns = self._fns
-                sub._shard = self._shard
-                n_done += sub.run(var, sub_stations, progress=progress)
         except BaseException:
             self._close_mosaics(finalize=False)
             raise
         self._close_mosaics(reconciled=False)
         return n_done
+
+    def _iter_chunk_engines(self, years_per_chunk: int):
+        """Yield ``(sub_engine, day_sel)`` per fixed-size year chunk — the
+        scaffolding shared by run_production and run_production_pair. The
+        chunk's calendar is clamped to the configured span so a start/end
+        date not aligned to year boundaries keeps the sliced anomaly axis
+        and the chunk calendar the same length. The parent's compiled
+        single-var steps are transplanted onto each sub (same static shapes
+        when the chunk has the same dpm; else the jit cache recompiles
+        once)."""
+        from topotpu.core.dates import get_days_metadata
+
+        years = self.days.years
+        for c0 in range(0, len(years), years_per_chunk):
+            span = years[c0 : c0 + years_per_chunk]
+            d0 = max(np.datetime64(f"{span[0]}-01-01"), self.days.date64[0])
+            d1 = min(np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1])
+            sub_days = get_days_metadata(str(d0), str(d1))
+            day_sel = (
+                (self.days.year >= span[0]) & (self.days.year <= span[-1])
+            )
+            sub = self._chunk_engine(span, sub_days, day_sel)
+            sub._fns = self._fns
+            sub._shard = self._shard
+            yield sub, day_sel
 
     def _chunk_engine(self, span, sub_days, day_sel) -> "TileEngine":
         """A per-chunk sub-engine rooted at its own manifest dir. Direct
@@ -908,29 +937,12 @@ class TileEngine:
         """Chunked multi-decade production for both variables at once; same
         chunking/resume semantics as run_production. Returns per-variable
         tile counts summed over chunks."""
-        years = self.days.years
         n_done = {var_a: 0, var_b: 0}
         if self._direct:
             for v in (var_a, var_b):
                 self._open_mosaic(v)
         try:
-            for c0 in range(0, len(years), years_per_chunk):
-                span = years[c0 : c0 + years_per_chunk]
-                d0 = max(
-                    np.datetime64(f"{span[0]}-01-01"), self.days.date64[0]
-                )
-                d1 = min(
-                    np.datetime64(f"{span[-1]}-12-31"), self.days.date64[-1]
-                )
-                from topotpu.core.dates import get_days_metadata
-
-                sub_days = get_days_metadata(str(d0), str(d1))
-                day_sel = (
-                    (self.days.year >= span[0]) & (self.days.year <= span[-1])
-                )
-                sub = self._chunk_engine(span, sub_days, day_sel)
-                sub._fns = self._fns
-                sub._shard = self._shard
+            for sub, day_sel in self._iter_chunk_engines(years_per_chunk):
                 if self._pair_fns is not None:
                     sub._pair_fns = self._pair_fns
                     sub._shard_pair = self._shard_pair

@@ -216,7 +216,8 @@ def merge_attributions(
     date_tol: int,
     minseg: int,
     documented: tuple[int, ...] | list[int] = (),
-) -> dict[str, list[int]]:
+    n_months: int | None = None,
+) -> tuple[dict[str, list[int]], dict[str, dict[int, int]]]:
     """Cross-element attribution (Menne-Williams multi-element
     confirmation): a cluster is attributed when it reaches the quorum in
     its own element, OR falls one vote short but is corroborated by a
@@ -232,8 +233,18 @@ def merge_attributions(
     documented date is additionally injected as a candidate even with zero
     SNHT evidence. Both go through break-model confirmation downstream
     (with its own relaxed quorum, see _confirm_and_steps), so a documented
-    date with no step signature in any pair is still never adjusted."""
+    date with no step signature in any pair is still never adjusted.
+
+    Returns ``(accepted, fallbacks)``: ``accepted`` maps element ->
+    thinned break dates; ``fallbacks`` maps element -> {documented date ->
+    blind candidate it displaced in a minseg conflict}. A caller that
+    finds a documented date failing break-model confirmation should
+    reinstate its fallback (see homogenize_elements) — otherwise supplying
+    metadata could *suppress* a genuine blind adjustment whose SNHT
+    position happens to fall within minseg (but beyond date_tol) of a
+    no-signal documented note."""
     accepted: dict[str, list[int]] = {}
+    fallbacks: dict[str, dict[int, int]] = {}
     doc = sorted(documented)
     for elem, clusters in clusters_by_elem.items():
         dates: list[int] = []
@@ -255,20 +266,50 @@ def merge_attributions(
         for d in doc:  # documented dates with no cluster: inject as candidates
             if d not in dates:
                 dates.append(d)
-        # documented dates win minseg conflicts: an SNHT break displaced
-        # beyond date_tol (common at the series edge, where minseg forbids
-        # the true position) must not crowd out the exact documented date
+        # minseg conflicts between a documented date and an SNHT cluster
+        # beyond date_tol: only one break fits in the window, so pick by
+        # where the position evidence is. A cluster whose center sits
+        # against the SNHT guard band (breaks only exist in
+        # [minseg, n_months-minseg)) was *forced* there — the true break
+        # may well be at the documented date just outside the band, so the
+        # documented date wins and the displaced candidate is kept as its
+        # fallback (reinstated if the documented date fails break-model
+        # confirmation — a no-signal note, e.g. a time-of-observation
+        # change, must not swallow a genuine blind adjustment). A cluster
+        # SNHT placed *freely* mid-series is strong position evidence, so
+        # it wins and the no-snap documented date yields. Without
+        # ``n_months`` the geometry is unknown and documented always wins.
         docset = set(doc)
-        dates = [
-            c for c in set(dates)
-            if c in docset or all(abs(c - d) >= minseg for d in docset)
-        ]
+        fb: dict[int, int] = {}
+        kept: list[int] = []
+        lost_docs: set[int] = set()
+        for c in set(dates):
+            if c in docset:
+                kept.append(c)
+                continue
+            conflict = [d for d in docset if abs(c - d) < minseg]
+            if not conflict:
+                kept.append(c)
+                continue
+            d = min(conflict, key=lambda d: abs(c - d))
+            constrained = n_months is None or (
+                c <= minseg + date_tol
+                or c >= n_months - minseg - date_tol - 1
+            )
+            if constrained:
+                if d not in fb or abs(c - d) < abs(fb[d] - d):
+                    fb[d] = c
+            else:
+                kept.append(c)
+                lost_docs.add(d)
+        kept = [c for c in kept if c not in lost_docs]
         thinned: list[int] = []
-        for c in sorted(dates):
+        for c in sorted(kept):
             if not thinned or c - thinned[-1] >= minseg:
                 thinned.append(c)
         accepted[elem] = thinned
-    return accepted
+        fallbacks[elem] = {d: c for d, c in fb.items() if d not in lost_docs}
+    return accepted, fallbacks
 
 
 def _confirm_and_steps(
@@ -387,8 +428,9 @@ def homogenize_elements(
         clusters = {
             e: vote_clusters(per_elem[e][3][s], date_tol) for e in elems
         }
-        accepted = merge_attributions(
-            clusters, need, date_tol, minseg, documented=doc
+        accepted, fallbacks = merge_attributions(
+            clusters, need, date_tol, minseg, documented=doc,
+            n_months=per_elem[elems[0]][0].shape[1],
         )
         for e in elems:
             monthly, keys, diffs, _ = per_elem[e]
@@ -397,6 +439,28 @@ def homogenize_elements(
                 diffs[s], accepted[e], M, quorum_min, t_crit,
                 documented=frozenset(doc),
             )
+            # A documented date that displaced a blind candidate in the
+            # minseg conflict but then failed break-model confirmation
+            # (no step signature at the documented month) must not swallow
+            # the blind break: reinstate the displaced candidate (if it
+            # keeps minseg spacing to the surviving dates) and re-confirm
+            # once under the blind quorum.
+            confirmed = {b for b, _ in stn_breaks}
+            failed = [
+                d for d in accepted[e]
+                if d in fallbacks[e] and d not in confirmed
+            ]
+            if failed:
+                retry = [c for c in accepted[e] if c not in failed]
+                for d in failed:
+                    c = fallbacks[e][d]
+                    if all(abs(c - o) >= minseg for o in retry):
+                        retry.append(c)
+                if sorted(retry) != accepted[e]:
+                    stn_breaks = _confirm_and_steps(
+                        diffs[s], sorted(retry), M, quorum_min, t_crit,
+                        documented=frozenset(doc),
+                    )
             results[e].breakpoints.append(stn_breaks)
             # adjust-to-latest: months before each break get minus the
             # accumulated later steps
