@@ -71,6 +71,15 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert out["result"]["mae"] < 2.5
     assert out["result"]["rmse"] >= out["result"]["mae"]
 
+    # make-regions: covariate-clustered climate-division stand-in, written
+    # to data_dir/regions.h5 and picked up by optim-nnghs automatically
+    rc = main(["make-regions", "--config", str(cfg_path), "--n-regions", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["stage"] == "make-regions"
+    assert out["result"]["n_regions"] >= 2
+    assert sum(out["result"]["cells_per_region"].values()) > 0
+
     rc = main(["optim-nnghs", "--config", str(cfg_path)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])

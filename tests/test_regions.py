@@ -1,0 +1,54 @@
+"""Climate-region builder (geo.regions): the covariate-clustered stand-in
+for the reference's rasterized US climate divisions (SURVEY §2.16)."""
+
+import numpy as np
+
+from topotpu.geo.regions import make_climate_regions
+from topotpu.io.rasters import RasterStack
+from topotpu.io.synthetic import make_world
+
+
+def _rasters(seed=7, n=64):
+    rng = np.random.default_rng(seed)
+    world = make_world(rng, nrows=n, ncols=n, n_stations=30, ndays=31)
+    return RasterStack.from_world(world)
+
+
+def test_region_labels_cover_land_only():
+    rs = _rasters()
+    reg = make_climate_regions(rs, n_regions=8)
+    assert reg.shape == rs.grid.shape
+    assert reg.dtype == np.int32
+    assert (reg[~rs.landmask] == -1).all()
+    labels = np.unique(reg[rs.landmask])
+    assert labels.min() >= 0
+    # compacted labels: dense 0..n-1, every region nonempty
+    assert np.array_equal(labels, np.arange(labels.size))
+    assert 2 <= labels.size <= 8
+
+
+def test_regions_deterministic_and_spatially_coherent():
+    rs = _rasters()
+    a = make_climate_regions(rs, n_regions=6, seed=3)
+    b = make_climate_regions(rs, n_regions=6, seed=3)
+    assert np.array_equal(a, b)
+
+    # geography-led clustering: within-region latitude spread must be well
+    # under the domain's spread (division-like blobs, not salt-and-pepper)
+    rows, cols = np.nonzero(rs.landmask)
+    _, lat = rs.grid.cell_lonlat(rows, cols)
+    lab = a[rows, cols]
+    within = np.mean(
+        [lat[lab == j].std() for j in np.unique(lab) if (lab == j).sum() > 1]
+    )
+    assert within < 0.6 * lat.std()
+
+
+def test_regions_degenerate_inputs():
+    rs = _rasters()
+    # more regions than distinct cells is clamped, not an error
+    reg = make_climate_regions(rs, n_regions=10_000)
+    assert (reg[rs.landmask] >= 0).all()
+    # all-ocean grid
+    rs.landmask[:] = False
+    assert (make_climate_regions(rs, n_regions=4) == -1).all()

@@ -77,6 +77,7 @@ def main(argv=None) -> int:
         "synth-data", "download", "build-db", "qa", "homog", "infill",
         "krig-params", "interp", "mosaic", "validate", "validate-f64", "all",
         "xval-interp", "xval-daily", "xval-infill", "optim-nnghs", "point",
+        "make-regions",
     ])
     ap.add_argument("--config", help="TopoConfig JSON path")
     ap.add_argument("--data-dir", help="override config.data_dir")
@@ -94,7 +95,13 @@ def main(argv=None) -> int:
                     help="interp: this process's rank [0, num-processes)")
     ap.add_argument("--regions", default=None,
                     help="optim-nnghs: HDF5 region raster (int 'regions' "
-                         "dataset on the run grid, e.g. climate divisions)")
+                         "dataset on the run grid, e.g. climate divisions); "
+                         "default: data_dir/regions.h5 if present (see "
+                         "make-regions), else covariate-clustered regions "
+                         "built on the fly")
+    ap.add_argument("--n-regions", type=int, default=12,
+                    help="make-regions: number of climate-division-like "
+                         "regions to cluster from the covariate rasters")
     ap.add_argument("--station-history", default=None,
                     help="homog: documented-change metadata file "
                          "('STN_ID YYYY-MM' lines); detection relaxes near "
@@ -162,6 +169,9 @@ def main(argv=None) -> int:
         report("validate", steps.step_validate(cfg))
     if stage == "validate-f64":
         report("validate-f64", steps.step_validate_f64(cfg))
+    if stage == "make-regions":
+        report("make-regions",
+               steps.step_make_regions(cfg, n_regions=args.n_regions))
     if stage == "optim-nnghs":
         report("optim-nnghs",
                steps.step_optim_nnghs(cfg, regions_path=args.regions))

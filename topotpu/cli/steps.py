@@ -547,6 +547,40 @@ def step_validate_f64(cfg: TopoConfig, n_tiles: int = 1) -> dict:
     return out
 
 
+# ----------------------------------------------------- stage: make-regions
+
+
+def step_make_regions(cfg: TopoConfig, n_regions: int = 12,
+                      seed: int = 0) -> dict:
+    """Build a climate-division-like region raster from the covariate
+    rasters (geo.regions.make_climate_regions) and write it atomically to
+    ``data_dir/regions.h5`` — the stand-in for the reference's rasterized
+    US climate divisions (SURVEY §2.16) when no division polygons exist.
+    ``step_optim_nnghs`` picks the file up automatically."""
+    import h5py
+
+    from topotpu.geo.regions import make_climate_regions
+
+    p = _paths(cfg)
+    rasters = RasterStack.load(p["rasters"])
+    reg = make_climate_regions(rasters, n_regions=n_regions, seed=seed)
+    dst = p["root"] / "regions.h5"
+    tmp = dst.with_suffix(".tmp")
+    with h5py.File(tmp, "w") as f:
+        d = f.create_dataset("regions", data=reg, compression="gzip",
+                             compression_opts=1)
+        d.attrs["n_regions"] = int(reg.max()) + 1
+        d.attrs["source"] = "kmeans(lat, lon*cos(lat), elev, lst)"
+    tmp.replace(dst)
+    labels, counts = np.unique(reg[reg >= 0], return_counts=True)
+    return {
+        "path": str(dst),
+        "n_regions": int(labels.size),
+        "cells_per_region": {str(int(k)): int(c)
+                             for k, c in zip(labels, counts)},
+    }
+
+
 # ----------------------------------------------------- stage: optim-nnghs
 
 
@@ -556,8 +590,10 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
 
     ``regions_path``: an HDF5 file with an integer ``regions`` dataset on
     the run's grid (e.g. rasterized climate divisions); station labels are
-    sampled at station locations. Without it, coarse 5-degree latitude
-    bands stand in for climate divisions.
+    sampled at station locations. Without it, ``data_dir/regions.h5`` is
+    used when present (see step_make_regions), else covariate-clustered
+    regions are built on the fly — both climate-division-like groupings,
+    replacing the old coarse 5-degree latitude bands.
 
     Both sweeps run PER VARIABLE against that variable's own serial DB
     (normals, variograms and anomalies differ between tmin and tmax even on
@@ -584,18 +620,24 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
             )
             bad = db.stn(C.BAD).astype(bool)
             lat = db.stn(C.LAT)
-            if regions_path:
-                rasters = RasterStack.load(p["rasters"])
-                with h5py.File(regions_path) as f:
+            rasters = RasterStack.load(p["rasters"])
+            rp = regions_path or (
+                p["root"] / "regions.h5"
+                if (p["root"] / "regions.h5").exists() else None
+            )
+            if rp:
+                with h5py.File(rp) as f:
                     reg_grid = f["regions"][...]
                 assert reg_grid.shape == rasters.grid.shape, (
                     f"region raster {reg_grid.shape} != grid "
                     f"{rasters.grid.shape}"
                 )
-                rows, cols = rasters.grid.rowcol(db.stn(C.LON), lat)
-                regions = reg_grid[rows, cols].astype(int)
             else:
-                regions = (lat // 5.0).astype(int)
+                from topotpu.geo.regions import make_climate_regions
+
+                reg_grid = make_climate_regions(rasters)
+            rows, cols = rasters.grid.rowcol(db.stn(C.LON), lat)
+            regions = reg_grid[rows, cols].astype(int)
             valid = np.repeat(~bad[:, None], 12, 1)
             res = optimize_nnghs(
                 db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),
