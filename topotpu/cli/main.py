@@ -171,7 +171,8 @@ def main(argv=None) -> int:
         report("validate-f64", steps.step_validate_f64(cfg))
     if stage == "make-regions":
         report("make-regions",
-               steps.step_make_regions(cfg, n_regions=args.n_regions))
+               steps.step_make_regions(cfg, n_regions=args.n_regions,
+                                       seed=args.seed))
     if stage == "optim-nnghs":
         report("optim-nnghs",
                steps.step_optim_nnghs(cfg, regions_path=args.regions))

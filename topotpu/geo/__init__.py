@@ -4,3 +4,4 @@ from topotpu.geo.neighbors import (  # noqa: F401
     select_neighbors,
     distance_weights,
 )
+from topotpu.geo.regions import make_climate_regions  # noqa: F401
