@@ -58,6 +58,38 @@ def test_cli_full_pipeline(tmp_path, capsys):
     # (the two-step path only promises it within a quantization step)
     assert (mosaic_tmax[fin] >= mosaic_daily[fin]).all()
 
+    # aggregate stage: monthly/annual means from the daily mosaic (the
+    # reference's distributed dataset shipped these alongside dailies)
+    rc = main(["aggregate", "--config", str(cfg_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["stage"] == "aggregate"
+    assert out["result"]["tmin"]["months"] > 0
+    with h5py.File(tmp_path / "data" / "agg_tmin.h5") as f:
+        assert f["monthly"].dtype == np.int16  # daily pack grid reused
+        t_m = f["time_month"][...]
+        n_years = f["year"].shape[0]
+        mon = read_var(tmp_path / "data" / "agg_tmin.h5", "monthly")
+        ann = read_var(tmp_path / "data" / "agg_tmin.h5", "annual")
+    assert mon.shape[0] == len(t_m) and ann.shape[0] == n_years
+    # first month's mean == numpy mean of the daily mosaic, strict-finite
+    epoch = np.datetime64("1948-01-01", "D")
+    with h5py.File(tmp_path / "data" / "mosaic_tmin.h5") as f:
+        d_dates = epoch + f["time"][...].astype("timedelta64[D]")
+    m0 = d_dates.astype("datetime64[M]") == d_dates[0].astype("datetime64[M]")
+    blk = mosaic_daily[m0]
+    ref0 = np.where(np.isfinite(blk).all(0), blk.mean(0), np.nan)
+    assert np.array_equal(np.isfinite(ref0), np.isfinite(mon[0]))
+    ok0 = np.isfinite(ref0)
+    assert np.abs(mon[0] - ref0)[ok0].max() <= g_scale + 1e-6
+    # annual mean == day-weighted mean of the whole first year
+    y0 = d_dates.astype("datetime64[Y]") == d_dates[0].astype("datetime64[Y]")
+    blk = mosaic_daily[y0]
+    refy = np.where(np.isfinite(blk).all(0), blk.mean(0), np.nan)
+    oky = np.isfinite(refy)
+    assert np.array_equal(oky, np.isfinite(ann[0]))
+    assert np.abs(ann[0] - refy)[oky].max() <= g_scale + 1e-6
+
     rc = main(["xval-interp", "--config", str(cfg_path)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])

@@ -77,7 +77,7 @@ def main(argv=None) -> int:
         "synth-data", "download", "build-db", "qa", "homog", "infill",
         "krig-params", "interp", "mosaic", "validate", "validate-f64", "all",
         "xval-interp", "xval-daily", "xval-infill", "optim-nnghs", "point",
-        "make-regions",
+        "make-regions", "aggregate",
     ])
     ap.add_argument("--config", help="TopoConfig JSON path")
     ap.add_argument("--data-dir", help="override config.data_dir")
@@ -169,6 +169,8 @@ def main(argv=None) -> int:
         report("validate", steps.step_validate(cfg))
     if stage == "validate-f64":
         report("validate-f64", steps.step_validate_f64(cfg))
+    if stage == "aggregate":
+        report("aggregate", steps.step_aggregate(cfg))
     if stage == "make-regions":
         report("make-regions",
                steps.step_make_regions(cfg, n_regions=args.n_regions,

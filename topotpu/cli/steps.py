@@ -401,6 +401,132 @@ def step_point(cfg: TopoConfig, lonlat, out_dir: str | None = None) -> dict:
     return report
 
 
+# ------------------------------------------------------- stage: aggregate
+
+
+def step_aggregate(cfg: TopoConfig) -> dict:
+    """Monthly- and annual-mean mosaics from the daily product — the
+    aggregates the reference's distributed dataset shipped alongside the
+    dailies. Streams ONE calendar month at a time (validate-grade memory
+    bounds at the 4096^2 scale), so int16-packed mosaics aggregate in raw
+    integer space: a mean of raw values decodes through the same affine
+    map, no float decode of the 10+ GB daily axis. A month/year mean is
+    finite only where EVERY member day is finite (matching validate's
+    coverage strictness). Writes ``agg_<var>.h5`` per variable with
+    ``monthly`` (n_months, R, C) and ``annual`` (n_years, R, C) datasets
+    on the daily dataset's pack grid, atomically (tmp+rename)."""
+    import h5py
+
+    from topotpu.io.ncdf import FILL_F32, FILL_I16
+
+    p = _paths(cfg)
+    out: dict = {}
+    for var in (C.TMIN, C.TMAX):
+        src = p[f"mosaic_{var}"]
+        if not src.exists():
+            out[var] = {"status": "missing"}
+            continue
+        with h5py.File(src) as f:
+            d = f[var]
+            ndays, R, Cc = d.shape
+            epoch = np.datetime64("1948-01-01", "D")
+            dates = epoch + f["time"][...].astype("timedelta64[D]")
+            years = dates.astype("datetime64[Y]").astype(int) + 1970
+            months = dates.astype("datetime64[M]").astype(int) % 12
+            ym = years * 12 + months
+            # month boundaries (dates are a contiguous ascending calendar)
+            starts = np.flatnonzero(np.diff(ym, prepend=ym[0] - 1))
+            ends = np.append(starts[1:], ndays)
+            packed = d.dtype == np.int16
+            uyears = np.unique(years)
+            nm, ny = len(starts), len(uyears)
+
+            dst = p["root"] / f"agg_{var}.h5"
+            tmp = dst.with_suffix(".tmp")
+            with h5py.File(tmp, "w") as g:
+                dt = np.int16 if packed else np.float32
+                mo = g.create_dataset(
+                    "monthly", (nm, R, Cc), dtype=dt,
+                    chunks=(1, min(256, R), min(256, Cc)),
+                )
+                an = g.create_dataset(
+                    "annual", (ny, R, Cc), dtype=dt,
+                    chunks=(1, min(256, R), min(256, Cc)),
+                )
+                for v in (mo, an):
+                    v.attrs["units"] = "C"
+                    if packed:
+                        v.attrs["scale_factor"] = d.attrs["scale_factor"]
+                        v.attrs["add_offset"] = d.attrs["add_offset"]
+                        v.attrs["_FillValue"] = FILL_I16
+                    else:
+                        v.attrs["_FillValue"] = FILL_F32
+                g.create_dataset(
+                    "time_month",
+                    data=(
+                        dates[starts].astype("datetime64[M]")
+                        .astype("datetime64[D]") - epoch
+                    ).astype(np.int32),
+                ).attrs["units"] = "days since 1948-01-01 00:00:00"
+                g.create_dataset("year", data=uyears.astype(np.int32))
+                g.attrs["source_mosaic"] = src.name
+                g.attrs["mean_rule"] = "finite iff every member day finite"
+
+                y_sum = np.zeros((R, Cc), np.float64)
+                y_fin = np.ones((R, Cc), bool)
+                y_days = 0
+                y_row = 0
+
+                def _flush_year():
+                    nonlocal y_sum, y_fin, y_days, y_row
+                    if y_days == 0:
+                        return
+                    mean = y_sum / y_days
+                    if packed:
+                        enc = np.rint(mean).astype(np.int16)
+                        enc[~y_fin] = FILL_I16
+                    else:
+                        enc = mean.astype(np.float32)
+                        enc[~y_fin] = FILL_F32
+                    an[y_row] = enc
+                    y_row += 1
+                    y_sum[:] = 0.0
+                    y_fin[:] = True
+                    y_days = 0
+
+                cur_year = years[starts[0]]
+                for mi, (i0, i1) in enumerate(zip(starts, ends)):
+                    if years[i0] != cur_year:
+                        _flush_year()
+                        cur_year = years[i0]
+                    raw = d[i0:i1]
+                    if packed:
+                        fin = (raw != FILL_I16).all(axis=0)
+                        s = raw.astype(np.int64).sum(axis=0,
+                                                     dtype=np.int64)
+                        mean = s / (i1 - i0)
+                        enc = np.rint(mean).astype(np.int16)
+                        enc[~fin] = FILL_I16
+                    else:
+                        fin = np.isfinite(raw).all(axis=0) & (
+                            raw != FILL_F32
+                        ).all(axis=0)
+                        s = np.nan_to_num(
+                            np.where(raw == FILL_F32, np.nan, raw)
+                        ).astype(np.float64).sum(axis=0)
+                        mean = s / (i1 - i0)
+                        enc = mean.astype(np.float32)
+                        enc[~fin] = FILL_F32
+                    mo[mi] = enc
+                    y_sum += s
+                    y_fin &= fin
+                    y_days += i1 - i0
+                _flush_year()
+            tmp.replace(dst)
+            out[var] = {"path": str(dst), "months": nm, "years": ny}
+    return out
+
+
 # -------------------------------------------------------- stage: validate
 
 
