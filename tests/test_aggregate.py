@@ -12,11 +12,17 @@ from topotpu.io.ncdf import FILL_F32, FILL_I16, read_var
 
 
 def _write_mosaic(path, var, daily, dates, packed):
-    """Minimal mosaic file: the daily dataset + CF time scale — all
-    step_aggregate reads."""
+    """Minimal mosaic file: the daily dataset + CF time/lat/lon scales —
+    all step_aggregate reads."""
     epoch = np.datetime64("1948-01-01", "D")
     with h5py.File(path, "w") as f:
         f.create_dataset("time", data=(dates - epoch).astype(np.int32))
+        for axis, n in (("lat", daily.shape[1]), ("lon", daily.shape[2])):
+            sc = f.create_dataset(axis, data=np.arange(n, dtype=np.float64))
+            sc.attrs["units"] = (
+                "degrees_north" if axis == "lat" else "degrees_east"
+            )
+            sc.make_scale(axis)
         if packed:
             scale, offset = 0.01, 5.0
             raw = np.where(
@@ -38,9 +44,10 @@ def _write_mosaic(path, var, daily, dates, packed):
 
 
 def _run(tmp_path, packed):
-    # 14 months spanning a year boundary (partial years on both sides)
+    # 14 months spanning a year boundary, with a PARTIAL leading month
+    # (Dec 15-31) and partial years on both sides
     dates = np.arange(
-        np.datetime64("2014-12-01"), np.datetime64("2016-02-01")
+        np.datetime64("2014-12-15"), np.datetime64("2016-02-01")
     )
     nd = len(dates)
     rng = np.random.default_rng(5)
@@ -81,12 +88,19 @@ def _run(tmp_path, packed):
     assert np.abs(ann[1] - refy)[oky].max() <= tol + (
         0.01 if packed else 0.0
     )
-    # calendar metadata
+    # calendar metadata: month-start timestamps, member-day counts (the
+    # partial leading month is only distinguishable through n_days), and
+    # CF lat/lon scales copied from the mosaic with dims attached
     with h5py.File(tmp_path / "agg_tmin.h5") as f:
         assert list(f["year"][...]) == [2014, 2015, 2016]
         epoch = np.datetime64("1948-01-01", "D")
         t0 = epoch + np.timedelta64(int(f["time_month"][0]), "D")
         assert t0 == np.datetime64("2014-12-01")
+        assert list(f["n_days"][:2]) == [17, 31]
+        assert list(f["n_days_year"][...]) == [17, 365, 31]
+        assert f["lat"].attrs["units"] == "degrees_north"
+        assert f["monthly"].dims[1][0] == f["lat"]
+        assert f["annual"].dims[0][0] == f["year"]
 
 
 def test_aggregate_packed(tmp_path):

@@ -52,3 +52,22 @@ def test_regions_degenerate_inputs():
     # all-ocean grid
     rs.landmask[:] = False
     assert (make_climate_regions(rs, n_regions=4) == -1).all()
+
+
+def test_sample_regions_snaps_ocean_stations_to_nearest_land():
+    from topotpu.cli.steps import _sample_regions
+
+    reg = np.full((6, 6), -1, np.int32)
+    reg[0:3, 0:3] = 0
+    reg[4:6, 4:6] = 1
+    rows = np.array([1, 5, 3, 0])
+    cols = np.array([1, 5, 3, 5])   # last two sit on unlabeled cells
+    got = _sample_regions(reg, rows, cols)
+    assert list(got[:2]) == [0, 1]       # labeled cells pass through
+    assert got[2] in (0, 1)              # snapped to a nearest label
+    assert got[3] in (0, 1)
+    assert (got >= 0).all()
+
+    # all-unlabeled raster: degenerate, labels stay -1 (one group)
+    empty = np.full((4, 4), -1, np.int32)
+    assert (_sample_regions(empty, rows[:1], cols[:1]) == -1).all()

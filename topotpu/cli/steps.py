@@ -414,10 +414,14 @@ def step_aggregate(cfg: TopoConfig) -> dict:
     finite only where EVERY member day is finite (matching validate's
     coverage strictness). Writes ``agg_<var>.h5`` per variable with
     ``monthly`` (n_months, R, C) and ``annual`` (n_years, R, C) datasets
-    on the daily dataset's pack grid, atomically (tmp+rename)."""
+    on the daily dataset's pack grid, atomically (tmp+rename). CF lat/lon
+    dimension scales are copied from the source mosaic, and ``n_days`` /
+    ``n_days_year`` record each mean's member-day count (a partial
+    leading/trailing month under an unaligned config span is otherwise
+    indistinguishable from a full-month mean)."""
     import h5py
 
-    from topotpu.io.ncdf import FILL_F32, FILL_I16
+    from topotpu.io.ncdf import FILL_F32, FILL_I16, _attach_dims
 
     p = _paths(cfg)
     out: dict = {}
@@ -461,14 +465,42 @@ def step_aggregate(cfg: TopoConfig) -> dict:
                         v.attrs["_FillValue"] = FILL_I16
                     else:
                         v.attrs["_FillValue"] = FILL_F32
-                g.create_dataset(
+                tm = g.create_dataset(
                     "time_month",
                     data=(
                         dates[starts].astype("datetime64[M]")
                         .astype("datetime64[D]") - epoch
                     ).astype(np.int32),
-                ).attrs["units"] = "days since 1948-01-01 00:00:00"
-                g.create_dataset("year", data=uyears.astype(np.int32))
+                )
+                tm.attrs["units"] = "days since 1948-01-01 00:00:00"
+                tm.make_scale("time_month")
+                yr = g.create_dataset("year", data=uyears.astype(np.int32))
+                yr.make_scale("year")
+                # member-day counts: a partial edge month/year (config span
+                # not month-aligned) is otherwise indistinguishable from a
+                # full one
+                g.create_dataset(
+                    "n_days", data=(ends - starts).astype(np.int32)
+                )
+                g.create_dataset(
+                    "n_days_year",
+                    data=np.array(
+                        [int((years == y).sum()) for y in uyears], np.int32
+                    ),
+                )
+                # CF georeferencing: copy the mosaic's lat/lon scales so
+                # netCDF4/xarray consumers get a standalone product
+                for axis in ("lat", "lon"):
+                    if axis in f:
+                        sc_d = g.create_dataset(axis, data=f[axis][...])
+                        for k, v in f[axis].attrs.items():
+                            sc_d.attrs[k] = v
+                        sc_d.make_scale(axis)
+                if "lat" in g and "lon" in g:
+                    _attach_dims(g, mo, ("time_month", "lat", "lon"))
+                    _attach_dims(g, an, ("year", "lat", "lon"))
+                g.attrs["Conventions"] = "CF-1.6"
+                g.attrs["source"] = "topotpu"
                 g.attrs["source_mosaic"] = src.name
                 g.attrs["mean_rule"] = "finite iff every member day finite"
 
@@ -500,10 +532,12 @@ def step_aggregate(cfg: TopoConfig) -> dict:
                         _flush_year()
                         cur_year = years[i0]
                     raw = d[i0:i1]
+                    # reductions use a wide ACCUMULATOR dtype, never a
+                    # month-sized widened copy — the raw block (~1.2 GB at
+                    # the 4096^2 scale) must stay the peak allocation
                     if packed:
                         fin = (raw != FILL_I16).all(axis=0)
-                        s = raw.astype(np.int64).sum(axis=0,
-                                                     dtype=np.int64)
+                        s = raw.sum(axis=0, dtype=np.int64)
                         mean = s / (i1 - i0)
                         enc = np.rint(mean).astype(np.int16)
                         enc[~fin] = FILL_I16
@@ -511,9 +545,8 @@ def step_aggregate(cfg: TopoConfig) -> dict:
                         fin = np.isfinite(raw).all(axis=0) & (
                             raw != FILL_F32
                         ).all(axis=0)
-                        s = np.nan_to_num(
-                            np.where(raw == FILL_F32, np.nan, raw)
-                        ).astype(np.float64).sum(axis=0)
+                        np.putmask(raw, ~np.isfinite(raw) | (raw == FILL_F32), 0.0)
+                        s = raw.sum(axis=0, dtype=np.float64)
                         mean = s / (i1 - i0)
                         enc = mean.astype(np.float32)
                         enc[~fin] = FILL_F32
@@ -707,6 +740,30 @@ def step_make_regions(cfg: TopoConfig, n_regions: int = 12,
     }
 
 
+def _sample_regions(reg_grid: np.ndarray, rows: np.ndarray,
+                    cols: np.ndarray) -> np.ndarray:
+    """Region labels at station cells. A station whose nearest cell is
+    unlabeled (-1: ocean in a clustered raster, or an unmapped hole in a
+    user raster — coastal stations hit this routinely) snaps to the
+    nearest labeled cell in an expanding window, so no spurious "-1"
+    region leaks into the optimization tables."""
+    regions = reg_grid[rows, cols].astype(int)
+    R, Cc = reg_grid.shape
+    for i in np.flatnonzero(regions < 0):
+        r, c = int(rows[i]), int(cols[i])
+        for w in range(1, max(R, Cc)):
+            blk = reg_grid[max(0, r - w) : r + w + 1,
+                           max(0, c - w) : c + w + 1]
+            br, bc = np.nonzero(blk >= 0)
+            if br.size:
+                rr = br + max(0, r - w)
+                cc = bc + max(0, c - w)
+                j = np.argmin((rr - r) ** 2 + (cc - c) ** 2)
+                regions[i] = int(reg_grid[rr[j], cc[j]])
+                break
+    return regions
+
+
 # ----------------------------------------------------- stage: optim-nnghs
 
 
@@ -733,6 +790,24 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
     p = _paths(cfg)
     days = _days(cfg)
     out: dict = {}
+    # regions depend only on the covariate rasters, not the variable —
+    # resolve/build ONCE. An on-the-fly build is persisted to regions.h5
+    # (the make-regions artifact path) so reruns skip the clustering.
+    rasters = RasterStack.load(p["rasters"])
+    rp = regions_path or (
+        p["root"] / "regions.h5"
+        if (p["root"] / "regions.h5").exists() else None
+    )
+    if rp:
+        with h5py.File(rp) as f:
+            reg_grid = f["regions"][...]
+        assert reg_grid.shape == rasters.grid.shape, (
+            f"region raster {reg_grid.shape} != grid {rasters.grid.shape}"
+        )
+    else:
+        step_make_regions(cfg)  # builds AND persists regions.h5
+        with h5py.File(p["root"] / "regions.h5") as f:
+            reg_grid = f["regions"][...]
     for var in (C.TMIN, C.TMAX):
         path = p[f"serial_{var}"]
         if not path.exists():
@@ -746,24 +821,9 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
             )
             bad = db.stn(C.BAD).astype(bool)
             lat = db.stn(C.LAT)
-            rasters = RasterStack.load(p["rasters"])
-            rp = regions_path or (
-                p["root"] / "regions.h5"
-                if (p["root"] / "regions.h5").exists() else None
+            regions = _sample_regions(
+                reg_grid, *rasters.grid.rowcol(db.stn(C.LON), lat)
             )
-            if rp:
-                with h5py.File(rp) as f:
-                    reg_grid = f["regions"][...]
-                assert reg_grid.shape == rasters.grid.shape, (
-                    f"region raster {reg_grid.shape} != grid "
-                    f"{rasters.grid.shape}"
-                )
-            else:
-                from topotpu.geo.regions import make_climate_regions
-
-                reg_grid = make_climate_regions(rasters)
-            rows, cols = rasters.grid.rowcol(db.stn(C.LON), lat)
-            regions = reg_grid[rows, cols].astype(int)
             valid = np.repeat(~bad[:, None], 12, 1)
             res = optimize_nnghs(
                 db.stn(C.LON), lat, db.stn(C.ELEV), db.stn(C.TDI),

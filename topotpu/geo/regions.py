@@ -61,6 +61,9 @@ def make_climate_regions(
 
     rng = np.random.default_rng(seed)
     sub = z[rng.choice(n_land, size=min(n_land, 50_000), replace=False)]
+    # centroids come from the subsample: more regions than subsample
+    # points would duplicate centroids (farthest-point init runs dry)
+    n_regions = min(n_regions, len(sub))
     # farthest-point init with a running min-distance (one pass per seed,
     # O(n_regions * |sub| * F) total): spread seeds across the domain
     cent = np.empty((n_regions, z.shape[1]))
@@ -71,13 +74,17 @@ def make_climate_regions(
         np.minimum(mind, ((sub - cent[j]) ** 2).sum(1), out=mind)
 
     def _assign(pts, c):
-        # (N, k) squared distances via the expansion trick (no N*k*F temp)
-        d2 = (
-            (pts**2).sum(1)[:, None]
-            - 2.0 * pts @ c.T
-            + (c**2).sum(1)[None]
-        )
-        return np.argmin(d2, axis=1)
+        # (chunk, k) squared distances via the expansion trick; chunked by
+        # a fixed ELEMENT budget (~128 MB of f64) so memory stays bounded
+        # for any point count x n_regions combination
+        step = max(1, (1 << 24) // len(c))
+        out = np.empty(len(pts), np.int64)
+        c2 = (c**2).sum(1)[None]
+        for i0 in range(0, len(pts), step):
+            blk = pts[i0 : i0 + step]
+            d2 = (blk**2).sum(1)[:, None] - 2.0 * blk @ c.T + c2
+            out[i0 : i0 + step] = np.argmin(d2, axis=1)
+        return out
 
     # Lloyd iterations on the subsample only (50k points regardless of
     # grid size), then ONE chunked assignment of every land cell — keeps
@@ -94,9 +101,7 @@ def make_climate_regions(
             cent = new
             break
         cent = new
-    lab = np.empty(n_land, np.int64)
-    for i0 in range(0, n_land, 1 << 20):
-        lab[i0 : i0 + (1 << 20)] = _assign(z[i0 : i0 + (1 << 20)], cent)
+    lab = _assign(z, cent)
 
     # compact labels (drop empty clusters) so downstream tables are dense
     uniq, lab = np.unique(lab, return_inverse=True)
