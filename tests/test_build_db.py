@@ -267,3 +267,73 @@ def test_parse_ushcn():
     assert out[sid]["years"].tolist() == [2010, 2011]
     assert abs(out[sid]["values"][0, 0] - 5.00) < 1e-9
     assert np.isnan(out[sid]["values"][1]).all()
+
+
+def test_iter_ghcnd_tar_matches_loose_files(tmp_path):
+    """The NCEI distribution format: a (gzipped) tarball of per-station
+    .dly members, streamed at constant memory — must parse identically to
+    the same content as loose files, skipping non-.dly members."""
+    import io
+    import tarfile
+
+    from topotpu.io.build_db import iter_ghcnd_tar
+
+    sids = ["USC00012345", "USW00099999", "USC00054321"]
+    inv = {
+        s: {"lat": 39.0 + i, "lon": -104.0 - i, "elev": 1200.0 + i,
+            "state": "CO", "name": f"S{i}"}
+        for i, s in enumerate(sids)
+    }
+    texts = {}
+    for i, sid in enumerate(sids):
+        vals = [int(10 * (i + 3 + np.sin(d / 9.0))) for d in range(31)]
+        lines = []
+        for m in (1, 2, 3):
+            lines.append(_dly_line(sid, 2015, m, "TMIN", vals))
+            lines.append(_dly_line(sid, 2015, m, "TMAX",
+                                   [v + 90 for v in vals]))
+        texts[sid] = "\n".join(lines)
+
+    tar_path = tmp_path / "ghcnd_all.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for sid, text in texts.items():
+            data = text.encode()
+            ti = tarfile.TarInfo(f"ghcnd_all/{sid}.dly")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+        junk = b"not a dly"
+        ti = tarfile.TarInfo("ghcnd_all/readme.txt")
+        ti.size = len(junk)
+        tf.addfile(ti, io.BytesIO(junk))
+
+    from_tar = {ps.stn_id: ps for ps in iter_ghcnd_tar(tar_path, inv)}
+    assert set(from_tar) == set(sids)
+    for sid in sids:
+        ref = InsertGhcn(inv).parse_dly(texts[sid])
+        got = from_tar[sid]
+        assert got.tmin == ref.tmin and got.tmax == ref.tmax
+        assert (got.lat, got.lon, got.elev) == (ref.lat, ref.lon, ref.elev)
+
+    # the CLI build-db stage ingests the archive when present
+    import dataclasses
+
+    from topotpu.cli.steps import step_build_db
+    from topotpu.core.config import TopoConfig
+    from topotpu.io.stndb import StationDB
+
+    cfg = dataclasses.replace(
+        TopoConfig(), data_dir=str(tmp_path),
+        start_date="2015-01-01", end_date="2015-03-31",
+    )
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "ghcnd_all.tar.gz").write_bytes(tar_path.read_bytes())
+    inv_lines = [
+        f"{s:<11} {inv[s]['lat']:8.4f} {inv[s]['lon']:9.4f} "
+        f"{inv[s]['elev']:6.1f} {inv[s]['state']:<2} {inv[s]['name']:<30}"
+        for s in sids
+    ]
+    (raw / "ghcnd-stations.txt").write_text("\n".join(inv_lines))
+    step_build_db(cfg)
+    with StationDB(tmp_path / "all_obs.h5") as db:
+        assert db.n_stations == len(sids)

@@ -100,9 +100,12 @@ def step_download(cfg: TopoConfig, opener=None) -> None:
 
 
 def step_build_db(cfg: TopoConfig) -> None:
-    """Parse raw GHCN-D (+delimited SNOTEL/RAWS) files -> all_obs.h5."""
+    """Parse raw GHCN-D (+delimited SNOTEL/RAWS) files -> all_obs.h5.
+    GHCN input is accepted both as loose ``raw/*.dly`` files and as the
+    archive NCEI actually distributes (``raw/ghcnd_all.tar[.gz]``,
+    streamed member-by-member)."""
     from topotpu.io.build_db import InsertGhcn, InsertSnotel, InsertRaws, \
-        build_station_db, parse_ghcnd_stations
+        build_station_db, iter_ghcnd_tar, parse_ghcnd_stations
 
     p = _paths(cfg)
     raw = p["root"] / "raw"
@@ -111,6 +114,8 @@ def step_build_db(cfg: TopoConfig) -> None:
     inv = parse_ghcnd_stations(inv_file.read_text()) if inv_file.exists() else {}
     parsed = []
     ghcn = InsertGhcn(inv)
+    for f in sorted(raw.glob("ghcnd_all.tar*")):
+        parsed.extend(iter_ghcnd_tar(f, inv))
     for f in sorted(raw.glob("*.dly")):
         parsed.append(ghcn.parse_dly(f.read_text()))
     for parser, pat in ((InsertSnotel(), "snotel_*.csv"), (InsertRaws(), "raws_*.csv")):

@@ -157,6 +157,30 @@ class InsertGhcn:
 # -------------------------------------------------------------- SNOTEL/RAWS
 
 
+def iter_ghcnd_tar(
+    path: str | pathlib.Path,
+    inventory: dict[str, dict] | None = None,
+):
+    """Stream ParsedStations out of a ``ghcnd_all.tar[.gz]`` archive — the
+    exact distribution format NCEI ships (SURVEY §2.1: one ~3 GB tarball of
+    ~120k per-station ``.dly`` members). Opened in sequential streaming
+    mode (``r|*``): a gzip member cannot seek, and materializing the
+    archive's file list would hold 120k TarInfos; this reads each member
+    once, in order, at constant memory. Non-``.dly`` members are skipped.
+    """
+    import tarfile
+
+    ghcn = InsertGhcn(inventory)
+    with tarfile.open(path, "r|*") as tf:
+        for member in tf:
+            if not member.isfile() or not member.name.endswith(".dly"):
+                continue
+            f = tf.extractfile(member)
+            if f is None:
+                continue
+            yield ghcn.parse_dly(f.read().decode("ascii", "replace"))
+
+
 class InsertDelimited:
     """Generic delimited daily-obs parser (SNOTEL/RAWS exports).
 
