@@ -337,3 +337,41 @@ def test_iter_ghcnd_tar_matches_loose_files(tmp_path):
     step_build_db(cfg)
     with StationDB(tmp_path / "all_obs.h5") as db:
         assert db.n_stations == len(sids)
+
+
+def test_iter_ushcn_tar(tmp_path):
+    """USHCN distribution tarball (one FLs.52i member per station),
+    streamed; must match parse_ushcn_monthly on the same text and skip
+    non-station members."""
+    import io
+    import tarfile
+
+    from topotpu.io.ushcn import iter_ushcn_tar
+
+    def _line(sid, year, base):
+        s = f"{sid} {year}"
+        for m in range(12):
+            s += f"{base + m:6d}   "
+        return s
+
+    texts = {
+        "USH00011084": _line("USH00011084", 2010, 500),
+        "USH00022222": _line("USH00022222", 2011, -300),
+    }
+    tar_path = tmp_path / "ushcn.tmax.latest.FLs.52i.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for sid, text in texts.items():
+            data = text.encode()
+            ti = tarfile.TarInfo(f"ushcn.v2.5/{sid}.FLs.52i.tmax")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+        ti = tarfile.TarInfo("ushcn.v2.5/readme.txt")
+        ti.size = 3
+        tf.addfile(ti, io.BytesIO(b"hey"))
+
+    got = dict(iter_ushcn_tar(tar_path))
+    assert set(got) == set(texts)
+    for sid, text in texts.items():
+        ref = parse_ushcn_monthly(text)[sid]
+        assert np.array_equal(got[sid]["years"], ref["years"])
+        np.testing.assert_array_equal(got[sid]["values"], ref["values"])

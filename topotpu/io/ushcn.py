@@ -62,6 +62,28 @@ def parse_ushcn_monthly(
     return out
 
 
+def iter_ushcn_tar(path, scale: float = 0.01, drop_estimated: bool = False):
+    """Stream (stn_id, {"years", "values"}) out of the tarball NCEI ships
+    (``ushcn.<elem>.latest.FLs.52i.tar.gz``: one member file per station).
+    Sequential ``r|*`` streaming — same constant-memory discipline as
+    ``io.build_db.iter_ghcnd_tar``. Non-station members are skipped; each
+    member is parsed with parse_ushcn_monthly."""
+    import tarfile
+
+    with tarfile.open(path, "r|*") as tf:
+        for member in tf:
+            if not member.isfile() or ".FLs." not in member.name:
+                continue
+            f = tf.extractfile(member)
+            if f is None:
+                continue
+            parsed = parse_ushcn_monthly(
+                f.read().decode("ascii", "replace"),
+                scale=scale, drop_estimated=drop_estimated,
+            )
+            yield from parsed.items()
+
+
 def compare_adjustments(
     our_monthly_adjusted: np.ndarray,
     our_years: np.ndarray,
