@@ -65,6 +65,10 @@ def main():
                     "measures interp+mosaic together, not interp alone")
     args = ap.parse_args()
 
+    from bench import _wait_for_backend
+
+    _wait_for_backend()  # ride out a transient relay/tunnel outage
+
     from topotpu.core import constants as C
     from topotpu.core.config import TopoConfig
     from topotpu.core.dates import get_days_metadata
