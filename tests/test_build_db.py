@@ -375,3 +375,34 @@ def test_iter_ushcn_tar(tmp_path):
         ref = parse_ushcn_monthly(text)[sid]
         assert np.array_equal(got[sid]["years"], ref["years"])
         np.testing.assert_array_equal(got[sid]["values"], ref["values"])
+
+
+def test_parsers_never_crash_on_garbage():
+    """Raw-format parsers must degrade to 'no data', never raise, on
+    arbitrary byte salad: truncated lines, binary junk, wrong widths,
+    embedded NULs — the failure mode of a corrupted archive member."""
+    import random
+
+    from topotpu.io.build_db import InsertDelimited
+
+    rnd = random.Random(7)
+    alphabet = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,-+eE\t\x00\xff"
+    )
+    blobs = [""]
+    for _ in range(200):
+        n = rnd.randrange(0, 400)
+        blobs.append("".join(rnd.choice(alphabet) for _ in range(n)))
+    # adversarial near-misses: valid prefixes with corrupted tails
+    base = _dly_line("USC00012345", 2015, 1, "TMIN", [15, -52])
+    blobs += [base[:k] for k in (10, 20, 21, 60, 100, len(base) - 1)]
+    blobs += [base.replace("TMIN", "TM\x00N"), base + "\x00garbage"]
+    text = "\n".join(blobs)
+
+    ps = InsertGhcn({}).parse_dly(text, stn_id="X")
+    assert ps.tmin == {} and ps.tmax == {}
+    inv = parse_ghcnd_stations(text)
+    for a in inv.values():  # whatever parses must be screened-or-finite
+        assert set(a) == {"lat", "lon", "elev", "state", "name"}
+    parse_ushcn_monthly(text)
+    InsertDelimited().parse(text, "JUNK", lat=40.0, lon=-100.0, elev=1.0)

@@ -195,3 +195,62 @@ def test_mosaic_merges_hosts_and_matches_single_process(rig, tmp_path):
             )
     for field, w in worst.items():
         assert w < 0.05, f"multi-host vs single-process {field}: {w}"
+
+
+def test_two_process_chunked_production(tmp_path_factory):
+    """Config-#5-style chunked production across two real processes: each
+    host owns its strided tile subset within EVERY chunk, per-chunk
+    per-host manifests merge cleanly, and the chunk-concatenating mosaic
+    validates at full coverage."""
+    tmp = tmp_path_factory.mktemp("mh_chunk")
+    data = tmp / "data"
+    cfg = TopoConfig(
+        data_dir=str(data),
+        start_date="2014-01-01", end_date="2015-12-31",  # 2 years
+        tile_rows=8, tile_cols=8,
+        interp=InterpParams(k_neighbors=8, k_neighbors_anom=8,
+                            max_tile_stations=64),
+        mesh=MeshParams(n_devices=2),
+    )
+    _build_artifacts(data, cfg)
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "topotpu.cli", "interp",
+             "--config", str(cfg_path), "--chunk-years", "1",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            cwd=REPO, env=_worker_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    chunk_dirs = sorted((data / "tiles").glob("chunk_*_*"))
+    assert [d.name for d in chunk_dirs] == ["chunk_2014_2014",
+                                            "chunk_2015_2015"]
+    for d in chunk_dirs:
+        m0 = json.loads((d / "manifest_p000.json").read_text())["tiles"]
+        m1 = json.loads((d / "manifest_p001.json").read_text())["tiles"]
+        assert m0 and m1 and not (set(m0) & set(m1))
+        # strided ownership inside every chunk
+        assert all(int(k.split("_")[1]) % 2 == 0 for k in m0)
+        assert all(int(k.split("_")[1]) % 2 == 1 for k in m1)
+
+    from topotpu.cli import steps
+
+    res = steps.step_mosaic(cfg)
+    assert res[C.TMIN] == res[C.TMAX] > 0
+    val = steps.step_validate(cfg)
+    assert val[C.TMIN]["status"] == "ok", val
+    assert val[C.TMAX]["status"] == "ok", val
+    assert val["crossvar"]["violations"] == 0
+    # full-span day axis survived the chunk concatenation
+    daily = read_var(data / "mosaic_tmin.h5", C.TMIN)
+    assert daily.shape[0] == 730
