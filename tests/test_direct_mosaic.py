@@ -313,3 +313,32 @@ def test_direct_tile_done_requires_mosaic_backed_claim(tmp_path, setup):
     assert not eng._tile_done(spec, "tmin")
     eng.manifest["tiles"][key] = {"file": "mosaic_tmin.h5", "ts": 2.0}
     assert eng._tile_done(spec, "tmin")
+
+
+def test_mode_switch_to_direct_warns_and_recomputes(tmp_path, setup, capsys):
+    """Switching an existing per-tile run to direct mode must (a) keep the
+    per-tile manifest claims intact (the manifest-is-checkpoint contract),
+    (b) print a note that those tiles will be recomputed, and (c) actually
+    recompute all of them into the fresh mosaic."""
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    d = tmp_path / "switch"
+    eng_t = TileEngine(cfg, rasters, days, d / "tiles")
+    eng_t.run_pair("tmin", "tmax", a, b, progress=False)
+    man_before = json.loads((d / "tiles" / "manifest.json").read_text())
+    assert len(man_before["tiles"]) == 8  # 4 tiles x 2 vars, tile-backed
+
+    eng_d = _direct_engine(cfg, rasters, days, d)
+    capsys.readouterr()
+    out = eng_d.run_pair("tmin", "tmax", a, b, progress=False)
+    assert out == {"tmin": 4, "tmax": 4}  # nothing skipped
+    assert "recomputes those tiles" in capsys.readouterr().out
+
+    man_after = json.loads((d / "tiles" / "manifest.json").read_text())
+    files = {info["file"] for info in man_after["tiles"].values()}
+    assert files == {"mosaic_tmin.h5", "mosaic_tmax.h5"}
+    import h5py
+
+    for var in ("tmin", "tmax"):
+        with h5py.File(d / f"mosaic_{var}.h5") as f:
+            assert bool(f.attrs["complete"])
