@@ -37,14 +37,15 @@ def test_scatter_matmul_wide_day_axis_chunks(rng):
     path across the chunk seams."""
     from topotpu.kernels.pallas_scatter import MAX_Y_COLS
 
-    # D=2977: 3 chunks of ceil(2977/3)=993 -> widths 993/993/991, so the
-    # final chunk is RAGGED (narrower Y slice) — 2976 splits 992/992/992
-    # and would leave the uneven-tail path untested
+    # D=2977: 3 chunks of ceil(2977/3)=993 with 2977 % 993 != 0, so the
+    # final chunk rides the zero-padded tail (one shared kernel shape;
+    # padded columns sliced off) — 2976 splits evenly and would leave the
+    # pad-and-slice path untested
     C, S, k, D = 512, 128, 8, 2977
     assert D > 2 * MAX_Y_COLS  # >= 3 chunks
     n = -(-D // MAX_Y_COLS)
     w = -(-D // n)
-    assert D % w != 0, "fixture must produce a ragged final chunk"
+    assert D % w != 0, "fixture must exercise the padded-tail path"
     g = rng.normal(size=(C, k)).astype(np.float32)
     idx = rng.integers(0, S, (C, k)).astype(np.int32)
     mask = rng.uniform(size=(C, k)) > 0.1

@@ -692,10 +692,15 @@ def step_validate_f64(cfg: TopoConfig, n_tiles: int = 1) -> dict:
             out[var] = {"status": "missing serial DB"}
             continue
         stations = _station_set(path, days)
+        from topotpu.interp.point import month_layout
+
+        day_valid = month_layout(days).day_valid
         reports = []
         for spec in list(eng.tiling.land_tiles(rasters.landmask))[:n_tiles]:
             task = eng.prepare(spec, stations)
-            reports.append(compare_f32_f64(task.inputs, cfg.interp))
+            reports.append(
+                compare_f32_f64(task.inputs, cfg.interp, day_valid=day_valid)
+            )
         out[var] = {
             "tiles": len(reports),
             "normal_rmse": max(r["normal"]["rmse"] for r in reports),

@@ -53,12 +53,20 @@ def run_tile_f64(ti: TileInputs, params: InterpParams) -> TileResult:
         return TileResult(*(np.asarray(v) for v in res))
 
 
-def compare_f32_f64(ti: TileInputs, params: InterpParams) -> dict:
+def compare_f32_f64(
+    ti: TileInputs, params: InterpParams, day_valid=None
+) -> dict:
     """Run the tile path at f32 and f64 and report error statistics.
 
     Only cells both paths mark ok are compared (conditioning differences can
     legitimately flip min_neighbors/solve-failure flags on the boundary; the
-    flip rate is reported separately)."""
+    flip rate is reported separately).
+
+    ``day_valid``: the MonthLayout's (12, dpm) real-day mask. Padded month
+    slots carry daily = normal + zero anomaly on BOTH paths, so including
+    them (the default when the layout is unknown) dilutes the daily RMSE
+    toward the smaller normals error — pass the mask whenever the calendar
+    is available so the 0.05 C parity bar judges real days only."""
     params32 = dataclasses.replace(params, use_pallas="off")
     f32 = jax.jit(functools.partial(interp_tile, params=params32))(
         _cast_inputs(ti, np.float32)
@@ -80,11 +88,15 @@ def compare_f32_f64(ti: TileInputs, params: InterpParams) -> dict:
             "max": float(np.abs(d).max()),
         }
 
+    dshape = np.asarray(f32.daily).shape  # (12, C, dpm)
+    if day_valid is not None:
+        dmask = both[:, :, None] & np.asarray(day_valid)[:, None, :]
+    else:
+        dmask = both[:, :, None] & np.ones(dshape, bool)
     out = {
         "normal": stats(f32.normal, f64.normal, both),
         "se": stats(f32.se, f64.se, both),
-        "daily": stats(f32.daily, f64.daily, both[:, :, None] & np.ones(
-            np.asarray(f32.daily).shape, bool)),
+        "daily": stats(f32.daily, f64.daily, dmask),
         "ok_flip_rate": float((ok32 != ok64).mean()),
         "n_compared": int(both.sum()),
     }

@@ -64,41 +64,6 @@ def _use_pallas(flag: str) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _ok_solve_pallas(nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors):
-    """Route through the fused Pallas kernel (kernels/pallas_krig.py).
-
-    Ships the neighborhoods' unit-sphere coordinates in the kernel's
-    (3k, C) batch-last layout — pair distances are computed in-kernel —
-    and pads the cell batch to a multiple of 128 lanes.
-    """
-    from topotpu.kernels.pallas_krig import ok_solve_fused_xyz
-
-    C_cells, k = dist.shape
-    # (C, k, 3) -> (3, k, C) -> (3k, C), coordinate-major rows
-    xyz3k = jnp.transpose(nbr_xyz, (2, 1, 0)).reshape(3 * k, C_cells)
-
-    pad = (-C_cells) % 128
-    if pad:
-        xyz3k = jnp.pad(xyz3k, ((0, 0), (0, pad)))
-        dist_t = jnp.pad(dist.T, ((0, 0), (0, pad)))
-        mask_t = jnp.pad(mask.T.astype(jnp.float32), ((0, 0), (0, pad)))
-        vario_p = jnp.pad(vario, ((0, pad), (0, 0)), constant_values=1.0)
-    else:
-        dist_t = dist.T
-        mask_t = mask.T.astype(jnp.float32)
-        vario_p = vario
-    w_t, var, ok = ok_solve_fused_xyz(
-        xyz3k, dist_t, mask_t,
-        vario_p[..., 0], vario_p[..., 1], vario_p[..., 2],
-        jitter_frac=jitter_frac, min_neighbors=min_neighbors,
-    )
-    from topotpu.kernels.cholesky import OKSolution
-
-    return OKSolution(
-        weights=w_t.T[:C_cells], variance=var[:C_cells], ok=ok[:C_cells]
-    )
-
-
 def _result_from_rows(out, row0):
     var = out[row0 + 1]
     return NormalsResult(
@@ -263,23 +228,19 @@ def krig_normals(
     # --- per-cell variogram params (interpolated, not refit: SURVEY §3.3) ---
     vario = interp_cell_variogram(nbr_vario, w)
 
-    # --- ordinary kriging of residuals ---
-    if _use_pallas(use_pallas):
-        sol = _ok_solve_pallas(
-            nbr_xyz, dist, vario, mask, jitter_frac, min_neighbors
-        )
-    else:
-        dist_pair = pairwise_km_from_xyz(nbr_xyz, nbr_xyz)
-        C, c0, sill = assemble_exp_cov(
-            dist_pair,
-            dist,
-            vario[..., 0],
-            vario[..., 1],
-            vario[..., 2],
-            mask,
-            jitter_frac=jitter_frac,
-        )
-        sol = ok_solve(C, c0, mask, sill, min_neighbors)
+    # --- ordinary kriging of residuals --- (the Pallas route returned at
+    # the top of the function; this is the jnp/f64/CPU fallback path)
+    dist_pair = pairwise_km_from_xyz(nbr_xyz, nbr_xyz)
+    C, c0, sill = assemble_exp_cov(
+        dist_pair,
+        dist,
+        vario[..., 0],
+        vario[..., 1],
+        vario[..., 2],
+        mask,
+        jitter_frac=jitter_frac,
+    )
+    sol = ok_solve(C, c0, mask, sill, min_neighbors)
     resid_krig = jnp.sum(sol.weights * resid, axis=-1)
 
     normal = trend_cell + resid_krig

@@ -55,15 +55,17 @@ def build_krig_params(
     iparams: InterpParams,
 ) -> KrigParamsResult:
     """Fit per-station monthly exponential variograms, batched over stations."""
-    S = stn_lon.shape[0]
     k = vparams.k_fit_neighbors
-    stn_xyz = unit_xyz(stn_lon, stn_lat)
 
-    varios, sses, oks = [], [], []
-    for m in range(12):
+    # ONE jitted per-month program, compiled once and reused 12x2-vars
+    # times. Eager dispatch on the tunneled TPU pays an RPC per primitive
+    # (~100x, CLAUDE.md); station arrays go in as jit ARGUMENTS, never
+    # closure constants (big HLO constants hit the relay's HTTP cap).
+    @jax.jit
+    def _one_month(lon, lat, elev, tdi, valid_m, lst_m, norm_m):
+        xyz = unit_xyz(lon, lat)
         nbr = select_neighbors(
-            stn_lon, stn_lat, stn_lon, stn_lat, stn_valid[:, m],
-            k=k, exclude_self_km=1e-3,
+            lon, lat, lon, lat, valid_m, k=k, exclude_self_km=1e-3,
         )
         take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
         w = distance_weights(nbr.dist, nbr.mask, iparams.weight_kernel)
@@ -73,25 +75,35 @@ def build_krig_params(
         # would absorb the spatially-correlated residual the variogram must
         # measure (observed: fitted sill collapsed to ~25% of truth with x/y
         # in the design). Mirrors the reference's covariate-only trend.
-        nbr_cov = jnp.stack(
-            [take(stn_elev), take(stn_tdi), take(stn_lst[:, m])], axis=-1,
-        )
-        cell_cov = jnp.stack([stn_elev, stn_tdi, stn_lst[:, m]], axis=-1)
+        nbr_cov = jnp.stack([take(elev), take(tdi), take(lst_m)], axis=-1)
+        cell_cov = jnp.stack([elev, tdi, lst_m], axis=-1)
         X, _, _ = center_design(nbr_cov, cell_cov, w)
-        y = take(stn_norm[:, m])
+        y = take(norm_m)
         beta = batched_wls(X, y, w, iparams.ridge)
         resid = jnp.where(nbr.mask, y - jnp.einsum("skp,sp->sk", X, beta,
                                                     precision=HI), 0.0)
 
-        dist_pair = pairwise_km_from_xyz(take(stn_xyz), take(stn_xyz))
+        dist_pair = pairwise_km_from_xyz(take(xyz), take(xyz))
         emp = empirical_variogram(
             dist_pair, resid, nbr.mask,
             n_bins=vparams.n_bins, max_dist_frac=vparams.max_dist_frac,
         )
         fit = fit_exp_variogram(emp, n_iters=vparams.gn_iters)
-        varios.append(jnp.stack([fit.nugget, fit.psill, fit.rng], axis=-1))
-        sses.append(fit.sse)
-        oks.append(fit.ok & stn_valid[:, m])
+        return (
+            jnp.stack([fit.nugget, fit.psill, fit.rng], axis=-1),
+            fit.sse,
+            fit.ok & valid_m,
+        )
+
+    varios, sses, oks = [], [], []
+    for m in range(12):
+        v, s, o = _one_month(
+            stn_lon, stn_lat, stn_elev, stn_tdi,
+            stn_valid[:, m], stn_lst[:, m], stn_norm[:, m],
+        )
+        varios.append(v)
+        sses.append(s)
+        oks.append(o)
 
     return KrigParamsResult(
         vario=jnp.stack(varios, axis=1),

@@ -76,20 +76,31 @@ def xval_interp_normals(
             weight_kernel=params.weight_kernel, ridge=params.ridge,
             jitter_frac=params.chol_jitter, min_neighbors=params.min_neighbors,
         )
-        return res.normal - norm_m
+        return res.normal - norm_m, res.ok
 
     errs = np.zeros((S, 12), np.float32)
+    oks = np.zeros((S, 12), bool)
     for m in range(12):
-        errs[:, m] = np.asarray(
-            _one_month(valid[:, m], lst[:, m], norm[:, m], vario[:, m, :])
-        )
+        e, o = _one_month(valid[:, m], lst[:, m], norm[:, m], vario[:, m, :])
+        errs[:, m] = np.asarray(e)
+        oks[:, m] = np.asarray(o)
 
+    # score only entries that are BOTH valid-this-month and actually
+    # solved: an ok=False solve returns a clamped/meaningless normal whose
+    # error is solve failure, not interpolation skill — counting it would
+    # poison the MAE bar and bias the optimize_nnghs argmin against small
+    # k (where sparse neighborhoods fail more often)
     truth = np.asarray(norm)
+    use = np.asarray(valid) & oks
     maes, biases, r2s = [], [], []
-    vmask = np.asarray(valid)
     for m in range(12):
-        e = errs[vmask[:, m], m]
-        t = truth[vmask[:, m], m]
+        e = errs[use[:, m], m]
+        t = truth[use[:, m], m]
+        if e.size == 0:
+            maes.append(np.nan)
+            biases.append(np.nan)
+            r2s.append(np.nan)
+            continue
         maes.append(np.abs(e).mean())
         biases.append(e.mean())
         ss_res = (e**2).sum()
@@ -97,7 +108,7 @@ def xval_interp_normals(
         r2s.append(1.0 - ss_res / ss_tot)
     return XvalScores(
         mae=np.array(maes), bias=np.array(biases), r2=np.array(r2s),
-        per_station_err=errs,
+        per_station_err=np.where(use, errs, np.nan),
     )
 
 
@@ -128,20 +139,20 @@ def xval_interp_daily(
     valid = jnp.asarray(stn_valid)
     xyz = unit_xyz(lon, lat)
 
-    class _D:
-        pass
+    import types
 
-    _D.month_idx = month_idx
-    _D.ndays = len(month_idx)
-    layout = month_layout(_D)
+    layout = month_layout(
+        types.SimpleNamespace(month_idx=month_idx, ndays=len(month_idx))
+    )
     anoms_g = group_days_by_month(stn_anoms.astype(np.float32), layout)
     anoms_g = jnp.asarray(np.moveaxis(anoms_g, 1, 0))  # (12, S, dpm)
 
-    # x-offset scale from the network's mean latitude (matches the tile
-    # path's pool-mean derivation in interp/point.py; was hard-coded 38.0)
-    kx = 111.32 * np.cos(np.deg2rad(float(np.mean(np.asarray(stn_lat)))))
-    sx = lon * kx
-    sy = lat * 111.32
+    # locational covariates: the SAME conversion the tile path uses
+    # (interp/point.py::_local_xy_km at the pool-mean latitude) — the x-val
+    # protocol must not desynchronize from the production path it validates
+    from topotpu.interp.point import _local_xy_km
+
+    sx, sy = _local_xy_km(lon, lat, float(np.mean(np.asarray(stn_lat))))
 
     @jax.jit
     def _month(valid_m, lst_m, norm_m, vario_m, Y_m):
@@ -173,23 +184,29 @@ def xval_interp_daily(
                               weight_kernel=params.weight_kernel,
                               ridge=params.ridge)
         anom_pred = predict_daily_gathered(g, idx_a, mask_a, Y_m)
-        return res.normal[:, None] + anom_pred  # (S, dpm)
+        return res.normal[:, None] + anom_pred, res.ok  # (S, dpm), (S,)
 
     pred_g = np.zeros((S, 12, layout.dpm), np.float32)
+    oks = np.zeros((S, 12), bool)
     for m in range(12):
-        pred_g[:, m, :] = np.asarray(
-            _month(valid[:, m], lst[:, m], norm[:, m], vario[:, m, :],
-                   anoms_g[m])
-        )
+        pg, o = _month(valid[:, m], lst[:, m], norm[:, m], vario[:, m, :],
+                       anoms_g[m])
+        pred_g[:, m, :] = np.asarray(pg)
+        oks[:, m] = np.asarray(o)
     pred = ungroup_days(pred_g, layout)                      # (S, T)
     truth = stn_norm[:, month_idx] + stn_anoms
-    vmask = np.asarray(stn_valid).all(axis=1)
+    # score only stations valid AND solved in every month: a failed solve's
+    # clamped normal would grade solve failure, not interpolation skill
+    vmask = np.asarray(stn_valid).all(axis=1) & oks.all(axis=1)
     err = (pred - truth)[vmask]
+    psm = np.abs(pred - truth).mean(axis=1)
     return {
-        "mae": float(np.abs(err).mean()),
-        "bias": float(err.mean()),
-        "rmse": float(np.sqrt((err**2).mean())),
-        "per_station_mae": np.abs(pred - truth).mean(axis=1),
+        "mae": float(np.abs(err).mean()) if err.size else float("nan"),
+        "bias": float(err.mean()) if err.size else float("nan"),
+        "rmse": (
+            float(np.sqrt((err**2).mean())) if err.size else float("nan")
+        ),
+        "per_station_mae": np.where(vmask, psm, np.nan),
     }
 
 
@@ -253,10 +270,20 @@ def optimize_nnghs(
     best = {}
     for r in regions:
         in_r = region_labels == r
-        scores = {
-            k: float(np.abs(err_by_k[k][in_r]).mean()) for k in mae_by_k
-        }
-        best[int(r)] = min(scores, key=scores.get)
+        # per_station_err is NaN where a (station, month) was invalid or
+        # its solve failed — score over the finite entries only; a region
+        # with no usable entries for a candidate drops that candidate, and
+        # with none at all falls back to the base k (an arbitrary argmin
+        # over NaNs would silently pick the first candidate)
+        scores = {}
+        for k in mae_by_k:
+            vals = np.abs(err_by_k[k][in_r])
+            vals = vals[np.isfinite(vals)]
+            if vals.size:
+                scores[k] = float(vals.mean())
+        best[int(r)] = (
+            min(scores, key=scores.get) if scores else int(base.k_neighbors)
+        )
     return {"best": best, "mae": mae_by_k, "per_station_err": err_by_k}
 
 
@@ -297,8 +324,16 @@ def optimize_nnghs_anoms(
     best = {}
     for r in regions:
         in_r = region_labels == r
-        scores = {
-            k: float(stn_mae_by_k[k][in_r].mean()) for k in stn_mae_by_k
-        }
-        best[int(r)] = min(scores, key=scores.get)
+        # NaN per-station MAEs mark stations invalid or unsolved in some
+        # month — same finite-only scoring + fallback as optimize_nnghs
+        scores = {}
+        for k in stn_mae_by_k:
+            vals = stn_mae_by_k[k][in_r]
+            vals = vals[np.isfinite(vals)]
+            if vals.size:
+                scores[k] = float(vals.mean())
+        best[int(r)] = (
+            min(scores, key=scores.get)
+            if scores else min(base.k_neighbors_anom, base.k_neighbors)
+        )
     return {"best": best, "mae": mae_by_k, "per_station_mae": stn_mae_by_k}

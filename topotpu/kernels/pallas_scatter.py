@@ -77,15 +77,23 @@ def scatter_daily_matmul(
     if dpm > MAX_Y_COLS:
         n = -(-dpm // MAX_Y_COLS)
         w = -(-dpm // n)  # balanced chunk widths
+        # zero-pad the day axis to n*w so EVERY chunk launches the SAME
+        # kernel shape: relay-side TPU compiles are per-shape and not
+        # persisted across processes, so a narrower final chunk would pay
+        # a whole extra remote Mosaic compile for zero benefit. The padded
+        # columns are sliced back off here (and downstream slot_of_day
+        # gathers never select them).
+        if n * w != dpm:
+            Y = jnp.pad(Y, ((0, 0), (0, n * w - dpm)))
         return jnp.concatenate(
             [
                 _scatter_daily_matmul_one(
                     idx_t, gains_t, mask_t, Y[:, c0 : c0 + w], interpret
                 )
-                for c0 in range(0, dpm, w)
+                for c0 in range(0, n * w, w)
             ],
             axis=1,
-        )
+        )[:, :dpm]
     return _scatter_daily_matmul_one(idx_t, gains_t, mask_t, Y, interpret)
 
 
