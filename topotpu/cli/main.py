@@ -55,9 +55,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", plat)
 
     # Persistent compile cache: without it every pipeline stage pays its
-    # first-compile cost in every fresh process (measured: a single
-    # (4000, 12) masked_correlation jit = ~30 s of remote compile on the
-    # tunneled-TPU container; several minutes across a full run). Honors
+    # first-compile cost in every fresh process (measured ~30 s of remote
+    # compile for a single mid-sized jit on the tunneled-TPU container;
+    # several minutes across a full run). Honors
     # JAX's own env var when set; defaults to a per-user cache dir.
     if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         import pathlib

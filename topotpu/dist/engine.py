@@ -161,6 +161,8 @@ class TileEngine:
         )
         self._mosaic: dict = {}       # var -> open MosaicWriter
         self._mosaic_fresh: set = set()  # vars whose mosaic was (re)created
+        self._slot_dev = None         # device slot_of_day, uploaded once
+        self._scales_dev: dict = {}   # n_vars -> device fixed pack scales
         self._mosaic_owned = True     # chunk sub-engines borrow the parent's
         self.mosaic_t0 = 0            # time offset (chunked production)
         self._full_dates = None       # parent's full calendar for chunk subs
@@ -344,19 +346,35 @@ class TileEngine:
     def _dispatch(self, task: TileTask):
         """Launch the device step for one tile (async) and start the
         device->host copy so the transfer overlaps the next tile's compute."""
-        import jax.numpy as jnp
-
         if self._flat:
-            slot = jnp.asarray(self.layout.slot_of_day, jnp.int32)
+            slot = self._dev_slot()
             if self._direct:
-                fut = self._fn(
-                    self._shard(task.inputs), slot, self._fixed_scales()
-                )
+                fut = self._fn(self._shard(task.inputs), slot,
+                               self._dev_scales())
             else:
                 fut = self._fn(self._shard(task.inputs), slot)
             self._try_prefetch(fut.buf, fut.scales)
             return fut
         return self._fn(self._shard(task.inputs))
+
+    def _dev_slot(self):
+        """slot_of_day uploaded ONCE per engine — per-tile re-upload costs
+        a host->device RPC (~4 ms) per tile over the tunnel."""
+        if self._slot_dev is None:
+            import jax.numpy as jnp
+
+            self._slot_dev = jnp.asarray(self.layout.slot_of_day, jnp.int32)
+        return self._slot_dev
+
+    def _dev_scales(self, n_vars: int = 1):
+        """Run-global fixed pack scales uploaded once per (engine, n_vars)."""
+        if n_vars not in self._scales_dev:
+            import jax.numpy as jnp
+
+            self._scales_dev[n_vars] = jnp.asarray(
+                self._fixed_scales(n_vars)
+            )
+        return self._scales_dev[n_vars]
 
     # ------------------------------------------------------------- manifest
     def _load_manifest(self) -> dict:
@@ -870,8 +888,6 @@ class TileEngine:
                 var_a: self.run(var_a, stations_a, progress),
                 var_b: self.run(var_b, stations_b, progress),
             }
-        import jax.numpy as jnp
-
         shared = bool(
             np.all(stations_a.valid == stations_a.valid[:, :1])
         )
@@ -889,7 +905,7 @@ class TileEngine:
         if self._direct:
             for v in (var_a, var_b):
                 self._open_mosaic(v)
-        slot = jnp.asarray(self.layout.slot_of_day, jnp.int32)
+        slot = self._dev_slot()
         pending = [
             ts
             for ts in self.tiling.land_tiles(self.rasters.landmask)
@@ -900,7 +916,7 @@ class TileEngine:
             total=len(pending), unit="tiles", enabled=progress,
             items_per=2 * self.config.tile_rows * self.config.tile_cols,
         )
-        fixed = self._fixed_scales(2) if self._direct else None
+        fixed = self._dev_scales(2) if self._direct else None
 
         def step(spec):
             task, pair = self.prepare_pair(spec, stations_a, stations_b)

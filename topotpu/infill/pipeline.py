@@ -35,43 +35,6 @@ class InfillResult:
     bad: np.ndarray           # (S,) too few obs for a trustworthy infill
 
 
-def masked_correlation(obs: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """(S, T) pairwise station correlation over the *jointly observed* days.
-
-    At production scale (S ~1e4, T ~2.5e4) the six S x S grams are ~5e12
-    FLOPs — hours in host numpy on this 1-core box, seconds as device
-    matmuls, so they run under jit. f32 is ample: the result only RANKS
-    predictors. Values are standardized per station first so the masked
-    moment algebra stays conditioned in f32.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    mu = np.nanmean(np.where(mask, obs, np.nan), axis=1)
-    sd = np.nanstd(np.where(mask, obs, np.nan), axis=1) + 1e-6
-    xs = np.where(mask, (obs - mu[:, None]) / sd[:, None], 0.0).astype(np.float32)
-
-    @jax.jit
-    def grams(x, m):
-        n = m @ m.T
-        sx = x @ m.T
-        sy = sx.T
-        sxy = x @ x.T
-        sxx = (x * x) @ m.T
-        syy = sxx.T
-        safe_n = jnp.maximum(n, 1.0)
-        cov = sxy / safe_n - (sx / safe_n) * (sy / safe_n)
-        vx = jnp.maximum(sxx / safe_n - (sx / safe_n) ** 2, 1e-12)
-        vy = jnp.maximum(syy / safe_n - (sy / safe_n) ** 2, 1e-12)
-        corr = cov * jax.lax.rsqrt(vx * vy)
-        return jnp.where(n < 30, 0.0, corr), n
-
-    corr, _ = grams(jnp.asarray(xs), jnp.asarray(mask.astype(np.float32)))
-    corr = np.asarray(corr, dtype=np.float64)
-    np.fill_diagonal(corr, 0.0)
-    return np.nan_to_num(np.clip(corr, -1.0, 1.0))
-
-
 def select_predictors(
     obs: np.ndarray,
     mask: np.ndarray,

@@ -107,6 +107,16 @@ class InsertGhcn:
             sid = line[0:11]
             if stn_id and sid != stn_id:
                 continue
+            if ps is not None and sid != ps.stn_id:
+                # a .dly file is one station; silently merging a second
+                # station's lines would attribute its observations to the
+                # first station's coordinates — a multi-station text must
+                # go through iter_ghcnd_tar (per member) or be split
+                raise ValueError(
+                    f"multiple station ids in one .dly text "
+                    f"({ps.stn_id!r} then {sid!r}); pass stn_id= to select "
+                    "one, or parse per-station members"
+                )
             if ps is None:
                 meta = self.inventory.get(sid, {})
                 ps = ParsedStation(
@@ -248,7 +258,9 @@ def build_station_db(
     days: DaysMetadata,
     min_obs: int = 30,
 ) -> StationDB:
-    """Assemble the all-obs DB from parsed stations (atomic at the h5 layer).
+    """Assemble the all-obs DB from parsed stations, written atomically
+    (tmp + rename — the artifact-chain rule: a crash mid-build must never
+    leave a half-written all_obs.h5 that a rerun's QA stage then trusts).
 
     Stations with fewer than ``min_obs`` values in the period are dropped
     (the reference's period-of-record screen)."""
@@ -297,7 +309,12 @@ def build_station_db(
         C.LAT: np.array([p.lat for p in keep], np.float64),
         C.ELEV: np.array([p.elev for p in keep], np.float64),
     }
-    db = StationDB.create(path, attrs, days.date64)
-    db.set_obs(C.TMIN, tmin)
-    db.set_obs(C.TMAX, tmax)
-    return db
+    import os
+
+    path = pathlib.Path(path)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with StationDB.create(tmp, attrs, days.date64) as db:
+        db.set_obs(C.TMIN, tmin)
+        db.set_obs(C.TMAX, tmax)
+    os.replace(tmp, path)
+    return StationDB(path, "a")

@@ -33,8 +33,11 @@ def ghcnd_station_url(stn_id: str) -> str:
     return f"{GHCND_BASE}/all/{stn_id}.dly"
 
 
-def ushcn_tar_url(kind: str = "FLs.52i") -> str:
-    return f"{USHCN_BASE}/ushcn.tmax.latest.{kind}.tar.gz"
+def ushcn_tar_url(kind: str = "FLs.52i", elem: str = "tmax") -> str:
+    """NCEI ships one tarball per element (tmax/tmin/tavg) per revision —
+    anchoring tmin homogenization needs the tmin tarball, not tmax's."""
+    assert elem in ("tmax", "tmin", "tavg"), elem
+    return f"{USHCN_BASE}/ushcn.{elem}.latest.{kind}.tar.gz"
 
 
 def fetch(

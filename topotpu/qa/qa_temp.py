@@ -355,10 +355,15 @@ def run_qa_spatial(
         resid = anom[sl] - est
 
         diffs = np.abs(anom[sl, None, :] - nb_anom)   # (s, n, T)
-        # min over neighbors with NaN->inf: an all-NaN neighbor column is
-        # "not corroborated" (same semantics as nanmin's NaN, without its
-        # all-NaN RuntimeWarning)
-        min_diff = np.min(np.where(np.isnan(diffs), np.inf, diffs), axis=1)
+        # corroboration may only come from NEAR neighbors (the same
+        # max_dist_km window the estimate uses): distant stations'
+        # anomalies are regionally coherent and would "corroborate"
+        # almost anything. NaN/far -> inf: an all-excluded column is
+        # "not corroborated" (nanmin semantics without its warning).
+        far = (ndist[sl] > max_dist_km)[:, :, None]
+        min_diff = np.min(
+            np.where(np.isnan(diffs) | far, np.inf, diffs), axis=1
+        )
         with np.errstate(invalid="ignore"):
             corroborated = min_diff <= SPATIAL_CORROB_THRESHOLD
             bad = (np.abs(resid) > SPATIAL_RESID_THRESHOLD) & ~corroborated

@@ -100,7 +100,9 @@ def ppca_impute(
         # E-step
         M = jnp.einsum("bvq,bvr->bqr", W, W, precision=HI) + sig2[:, None, None] * eyeq
         Minv = jnp.linalg.inv(M)
-        Z = jnp.einsum("btv,bvq,bqr->btr", Xc, W, Minv)  # (B, T, q)
+        Z = jnp.einsum(
+            "btv,bvq,bqr->btr", Xc, W, Minv, precision=HI
+        )  # (B, T, q)
         # M-step
         Sxz = jnp.einsum("btv,btq->bvq", Xc, Z, precision=HI)
         Szz = (
