@@ -442,3 +442,21 @@ def test_merge_attributions_fallback_and_position_evidence():
     )
     assert acc["tmin"] == [87]
     assert fb["tmin"] == {87: 72}
+
+
+def test_vote_clusters_consumes_candidates_exactly_once():
+    """Greedy clustering must neither double-count a candidate into two
+    clusters (inflating votes toward a false quorum) nor skip candidates
+    (losing real breaks) when pair dates are 1..2*date_tol apart."""
+    from topotpu.homog.pha import vote_clusters
+
+    breaks = np.array([0, 6, 12, 20], np.int32)
+    got = vote_clusters(breaks, date_tol=6)
+    assert got == [(3, 2), (12, 1), (20, 1)]
+    assert sum(v for _, v in got) == len(breaks)  # each counted once
+
+    # a dense run still forms one cluster per tol-window, votes exact
+    breaks = np.array([10, 11, 12, 13, 30], np.int32)
+    got = vote_clusters(breaks, date_tol=6)
+    assert got == [(11, 4), (30, 1)]
+    assert sum(v for _, v in got) == 5

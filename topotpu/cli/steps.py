@@ -83,9 +83,13 @@ def step_synth_data(cfg: TopoConfig, nrows=96, ncols=96, n_stations=250,
         C.TDI: world.stn_tdi,
         C.LST: world.stn_lst.astype(np.float32),
     }
-    with StationDB.create(p["all_obs"], attrs, days.date64) as db:
+    import os
+
+    tmp = p["all_obs"].with_suffix(".h5.tmp")
+    with StationDB.create(tmp, attrs, days.date64) as db:
         db.set_obs(C.TMIN, tmin)
         db.set_obs(C.TMAX, tmax)
+    os.replace(tmp, p["all_obs"])  # artifact rule: tmp+rename
 
 
 def step_download(cfg: TopoConfig, opener=None) -> None:
@@ -112,16 +116,22 @@ def step_build_db(cfg: TopoConfig) -> None:
     days = _days(cfg)
     inv_file = raw / "ghcnd-stations.txt"
     inv = parse_ghcnd_stations(inv_file.read_text()) if inv_file.exists() else {}
-    parsed = []
     ghcn = InsertGhcn(inv)
-    for f in sorted(raw.glob("ghcnd_all.tar*")):
-        parsed.extend(iter_ghcnd_tar(f, inv))
-    for f in sorted(raw.glob("*.dly")):
-        parsed.append(ghcn.parse_dly(f.read_text()))
-    for parser, pat in ((InsertSnotel(), "snotel_*.csv"), (InsertRaws(), "raws_*.csv")):
-        for f in sorted(raw.glob(pat)):
-            parsed.append(parser.parse(f.read_text(), f.stem))
-    build_station_db(p["all_obs"], parsed, days).close()
+
+    def _stream():
+        # one generator end-to-end: build_station_db screens and densifies
+        # each station as it arrives, so the 120k-member archive never
+        # materializes as a list of observation dicts
+        for f in sorted(raw.glob("ghcnd_all.tar*")):
+            yield from iter_ghcnd_tar(f, inv)
+        for f in sorted(raw.glob("*.dly")):
+            yield ghcn.parse_dly(f.read_text())
+        for parser, pat in ((InsertSnotel(), "snotel_*.csv"),
+                            (InsertRaws(), "raws_*.csv")):
+            for f in sorted(raw.glob(pat)):
+                yield parser.parse(f.read_text(), f.stem)
+
+    build_station_db(p["all_obs"], _stream(), days).close()
 
 
 # -------------------------------------------------------------- stage: qa
@@ -170,7 +180,6 @@ def step_homog(cfg: TopoConfig, station_history_path: str | None = None) -> dict
                 pathlib.Path(station_history_path).read_text(),
                 db.stn(C.STN_ID),
             )
-        out = StationDB.create(p["homog"], attrs, days.date64)
         obs_by_var = {}
         for var in (C.TMIN, C.TMAX):
             obs = db.obs(var)
@@ -186,10 +195,17 @@ def step_homog(cfg: TopoConfig, station_history_path: str | None = None) -> dict
             obs_by_var, days.year, days.month, lon, lat,
             station_history=history,
         )
-        for var, res in results.items():
-            out.set_obs(var, res.adjusted_daily)
-            n_breaks[var] = sum(len(b) for b in res.breakpoints)
-        out.close()
+        # artifact written atomically (tmp+rename) AFTER the long compute:
+        # a kill mid-stage must not leave a half-written homog.h5 that
+        # step_infill's exists() check then prefers over all_obs.h5
+        import os
+
+        tmp = p["homog"].with_suffix(".h5.tmp")
+        with StationDB.create(tmp, attrs, days.date64) as out:
+            for var, res in results.items():
+                out.set_obs(var, res.adjusted_daily)
+                n_breaks[var] = sum(len(b) for b in res.breakpoints)
+        os.replace(tmp, p["homog"])
     return n_breaks
 
 
@@ -342,10 +358,21 @@ def step_point(cfg: TopoConfig, lonlat, out_dir: str | None = None) -> dict:
     rasters = RasterStack.load(p["rasters"])
     lon = np.asarray([x for x, _ in lonlat], np.float64)
     lat = np.asarray([y for _, y in lonlat], np.float64)
-    rows, cols = rasters.grid.rowcol(lon, lat)
-    R, Cc = rasters.grid.shape
-    if ((rows < 0) | (rows >= R) | (cols < 0) | (cols >= Cc)).any():
-        raise ValueError("point outside the run's grid")
+    g = rasters.grid
+    R, Cc = g.shape
+    # rowcol() CLIPS to the grid, so bounds must be checked on the raw
+    # (unclipped) indices — otherwise a site thousands of km away silently
+    # interpolates at a border cell instead of erroring
+    raw_r = np.round((g.lat0 - lat) / g.cellsize).astype(int)
+    raw_c = np.round((lon - g.lon0) / g.cellsize).astype(int)
+    if ((raw_r < 0) | (raw_r >= R) | (raw_c < 0) | (raw_c >= Cc)).any():
+        bad_i = int(np.flatnonzero(
+            (raw_r < 0) | (raw_r >= R) | (raw_c < 0) | (raw_c >= Cc)
+        )[0])
+        raise ValueError(
+            f"point ({lon[bad_i]}, {lat[bad_i]}) outside the run's grid"
+        )
+    rows, cols = g.rowcol(lon, lat)
     off_land = ~rasters.landmask[rows, cols]
     elev = rasters.elev[rows, cols]
     tdi = rasters.tdi[rows, cols]
@@ -439,7 +466,17 @@ def step_aggregate(cfg: TopoConfig) -> dict:
             d = f[var]
             ndays, R, Cc = d.shape
             epoch = np.datetime64("1948-01-01", "D")
-            dates = epoch + f["time"][...].astype("timedelta64[D]")
+            if "time" in f:
+                dates = epoch + f["time"][...].astype("timedelta64[D]")
+            else:
+                # tile-assembled mosaics carry no time scale (only the
+                # direct-mode MosaicWriter writes coords): the run config's
+                # calendar IS the mosaic's day axis — cross-checked by length
+                dates = _days(cfg).date64
+            assert len(dates) == ndays, (
+                f"mosaic day axis {ndays} != calendar {len(dates)} — "
+                "config span does not match the mosaic"
+            )
             years = dates.astype("datetime64[Y]").astype(int) + 1970
             months = dates.astype("datetime64[M]").astype(int) % 12
             ym = years * 12 + months
@@ -1148,10 +1185,23 @@ def step_mosaic(cfg: TopoConfig) -> dict:
     # a crash mid-reconcile leaves only tmps, never a half-reconciled
     # published mosaic.
     tmps = {v: p[f"mosaic_{v}"].with_suffix(".tmp") for v in (C.TMIN, C.TMAX)}
+    if not any(out.get(v) for v in (C.TMIN, C.TMAX)):
+        # zero tiles assembled (tiles/ deleted, or mosaic rerun after a
+        # cleanup): publishing the empty tmps would OVERWRITE previously
+        # published good mosaics with all-fill data
+        for t in tmps.values():
+            t.unlink(missing_ok=True)
+        raise RuntimeError(
+            "mosaic: no tile files found to assemble — nothing published "
+            "(rerun the interp stage, or the product already exists)"
+        )
     if out.get(C.TMIN) and out.get(C.TMAX):
         out["crossvar"] = reconcile_cross_variable(
             tmps[C.TMIN], tmps[C.TMAX]
         )
     for var in (C.TMIN, C.TMAX):
-        tmps[var].replace(p[f"mosaic_{var}"])
+        if out.get(var):
+            tmps[var].replace(p[f"mosaic_{var}"])
+        else:
+            tmps[var].unlink(missing_ok=True)
     return out

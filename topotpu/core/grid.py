@@ -53,7 +53,7 @@ class GridSpec:
 
     @classmethod
     def conus_30arcsec(cls) -> "GridSpec":
-        return cls.from_bounds(*_reorder(CONUS_BOUNDS))
+        return cls.from_bounds(*CONUS_BOUNDS)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -165,6 +165,3 @@ class Tiling:
                 yield ts
 
 
-def _reorder(b):
-    lon_min, lat_min, lon_max, lat_max = b
-    return lon_min, lat_min, lon_max, lat_max

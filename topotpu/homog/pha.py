@@ -203,9 +203,16 @@ def vote_clusters(
     out: list[tuple[int, int]] = []
     i = 0
     while i < len(cand_sorted):
-        close = np.abs(cand_sorted - cand_sorted[i]) <= date_tol
+        # greedy clustering over the UNCONSUMED tail only (a contiguous
+        # prefix of it, since the array is sorted): measuring closeness
+        # against the full array would let already-clustered candidates
+        # vote again (inflating counts toward a false quorum) and advance
+        # the cursor past never-clustered candidates (losing real breaks
+        # whenever pair dates are 1..2*date_tol apart)
+        close = cand_sorted[i:] - cand_sorted[i] <= date_tol
         votes = int(close.sum())
-        out.append((int(np.median(cand_sorted[close])), votes))
+        members = cand_sorted[i : i + votes]
+        out.append((int(np.median(members)), votes))
         i += votes
     return out
 

@@ -262,13 +262,23 @@ def build_station_db(
     (tmp + rename — the artifact-chain rule: a crash mid-build must never
     leave a half-written all_obs.h5 that a rerun's QA stage then trusts).
 
+    ``parsed`` may be any iterable — including iter_ghcnd_tar's generator:
+    each station is screened and converted to dense day rows AS IT
+    STREAMS, so an archive-scale ingest (~120k GHCN stations) never holds
+    every station's observation dicts in memory at once; only the kept
+    stations' (T,) float32 rows accumulate.
+
     Stations with fewer than ``min_obs`` values in the period are dropped
     (the reference's period-of-record screen)."""
     ymd_to_idx = {int(y): i for i, y in enumerate(days.ymd)}
     T = days.ndays
 
-    keep: list[ParsedStation] = []
+    metas: list[tuple] = []
+    rows_min: list[np.ndarray] = []
+    rows_max: list[np.ndarray] = []
+    n_seen = 0
     for ps in parsed:
+        n_seen += 1
         # a station absent from the inventory keeps NaN lon/lat/elev, which
         # would flow into haversine/top_k as NaN distances downstream —
         # drop it here (the reference's location screen, qa_location's job
@@ -279,35 +289,39 @@ def build_station_db(
         # like -999.9 arrive finite): screen here, like the NaN case
         if not (-90.0 <= ps.lat <= 90.0 and -180.0 <= ps.lon <= 180.0):
             continue
-        n = sum(1 for y in ps.tmin if y in ymd_to_idx) + sum(
-            1 for y in ps.tmax if y in ymd_to_idx
-        )
+        rmin = np.full(T, np.nan, np.float32)
+        rmax = np.full(T, np.nan, np.float32)
+        n = 0
+        for src, dst in ((ps.tmin, rmin), (ps.tmax, rmax)):
+            for ymd, v in src.items():
+                j = ymd_to_idx.get(ymd)
+                if j is not None:
+                    dst[j] = v
+                    n += 1
         if n >= min_obs:
-            keep.append(ps)
-    S = len(keep)
+            metas.append(
+                (ps.stn_id, ps.name, ps.state, ps.lon, ps.lat, ps.elev)
+            )
+            rows_min.append(rmin)
+            rows_max.append(rmax)
+    S = len(metas)
     if S == 0:
         raise ValueError(
-            f"no stations survived screening ({len(parsed)} parsed: "
+            f"no stations survived screening ({n_seen} parsed: "
             "need finite+physical coordinates and >= "
             f"{min_obs} in-period observations)"
         )
 
-    tmin = np.full((S, T), np.nan, np.float32)
-    tmax = np.full((S, T), np.nan, np.float32)
-    for i, ps in enumerate(keep):
-        for src, dst in ((ps.tmin, tmin), (ps.tmax, tmax)):
-            for ymd, v in src.items():
-                j = ymd_to_idx.get(ymd)
-                if j is not None:
-                    dst[i, j] = v
+    tmin = np.stack(rows_min)
+    tmax = np.stack(rows_max)
 
     attrs = {
-        C.STN_ID: np.array([p.stn_id for p in keep]),
-        C.STN_NAME: np.array([p.name for p in keep]),
-        C.STATE: np.array([p.state for p in keep]),
-        C.LON: np.array([p.lon for p in keep], np.float64),
-        C.LAT: np.array([p.lat for p in keep], np.float64),
-        C.ELEV: np.array([p.elev for p in keep], np.float64),
+        C.STN_ID: np.array([m[0] for m in metas]),
+        C.STN_NAME: np.array([m[1] for m in metas]),
+        C.STATE: np.array([m[2] for m in metas]),
+        C.LON: np.array([m[3] for m in metas], np.float64),
+        C.LAT: np.array([m[4] for m in metas], np.float64),
+        C.ELEV: np.array([m[5] for m in metas], np.float64),
     }
     import os
 

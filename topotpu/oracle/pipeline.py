@@ -66,7 +66,8 @@ def interp_cell_month(
     mean = (w[:, None] * d_c).sum(0) / wsum
     var = (w[:, None] * (d_c - mean) ** 2).sum(0) / wsum
     scale = np.sqrt(var) + 1e-6
-    X = np.concatenate([np.ones((k, 1)), d_c / scale], axis=1)
+    # len(idx) = min(k, S): a pool smaller than k must not crash the oracle
+    X = np.concatenate([np.ones((len(idx), 1)), d_c / scale], axis=1)
     p = X.shape[1]
     Xw = X * w[:, None]
     A = Xw.T @ X
