@@ -59,19 +59,20 @@ def _wait_for_backend(max_wait_s: float = 600.0, poll_s: float = 30.0):
         finally:
             s.close()
 
-    while not _relay_up():
-        if _t.time() >= deadline:
-            # init against a dead relay BLOCKS forever — failing fast with
-            # a clear message beats hanging the benchmark harness
-            raise RuntimeError(
-                "axon relay tunnel not listening on 127.0.0.1:8082 after "
-                f"{max_wait_s:.0f}s — TPU transport is down; rerun once "
-                "the tunnel is restored"
-            )
-        print("# axon relay not listening; waiting for the tunnel",
-              flush=True)
-        _t.sleep(poll_s)
     while True:
+        # re-probe the socket before EVERY init attempt: the relay can die
+        # between a raising attempt and the retry, and init against a dead
+        # relay BLOCKS forever — failing fast beats hanging the harness
+        while not _relay_up():
+            if _t.time() >= deadline:
+                raise RuntimeError(
+                    "axon relay tunnel not listening on 127.0.0.1:8082 "
+                    f"after {max_wait_s:.0f}s — TPU transport is down; "
+                    "rerun once the tunnel is restored"
+                )
+            print("# axon relay not listening; waiting for the tunnel",
+                  flush=True)
+            _t.sleep(poll_s)
         try:
             return jax.devices()
         except Exception as e:  # init failures surface as RuntimeError

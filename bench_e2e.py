@@ -78,7 +78,11 @@ def main():
     rasters, sa, sb = build(args.grid, args.stations, days.ndays)
     cfg = TopoConfig(data_dir=args.out)
     out = pathlib.Path(args.out)
-    n_tiles = (args.grid // cfg.tile_rows) * (args.grid // cfg.tile_cols)
+    from topotpu.core.grid import Tiling
+
+    # ceil-divided like the engine's tiling (floor undercounts partial
+    # edge tiles: --grid 200 runs 4 tile-pairs, not 1)
+    n_tiles = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols).n_tiles
     var_cells = 2 * args.grid * args.grid
 
     def mosaics(d):
@@ -114,6 +118,10 @@ def main():
         rates.append(rate)
         print(json.dumps({"phase": f"run{r}", "wall_s": round(dt, 2),
                           "var_cells_per_s": round(rate, 1)}), flush=True)
+    if not rates:  # --repeats 0: warm-up-only (pre-pay the remote compile)
+        print(json.dumps({"metric": "warmup-only", "value": None,
+                          "unit": "cells/sec"}), flush=True)
+        return
     best = max(rates)
     mode = "direct-to-mosaic" if args.direct else "per-tile files"
     print(json.dumps({

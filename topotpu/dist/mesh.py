@@ -200,10 +200,12 @@ def _pair_fixed_adapter(pair, slot_of_day, fixed_scales, *, params,
 
 
 def shard_pair_inputs(mesh: Mesh, pair):
-    """device_put a PairTileInputs with the engine's shardings."""
+    """device_put a PairTileInputs with the engine's shardings (the SAME
+    pair_input_specs the compiled program's in_specs use — one source of
+    truth, so the host-side layout cannot silently diverge from it)."""
     from topotpu.interp.point import PairTileInputs, VarFields
 
-    b_specs = VarFields(norm=P(), vario=P(), anoms=P())
+    b_specs = pair_input_specs().b
     return PairTileInputs(
         geom=shard_tile_inputs(mesh, pair.geom),
         b=VarFields(

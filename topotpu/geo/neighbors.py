@@ -66,6 +66,13 @@ def select_neighbors(
     stations exist.
     """
     S = stn_lon.shape[0]
+    # exclude_self needs exact metric resolution (~1 m) that the cheap
+    # cos metric cannot provide — silently dropping it would make every
+    # x-val station its own nearest neighbor (errors collapse to ~0)
+    assert not (cos_matrix is not None and exclude_self_km > 0.0), (
+        "exclude_self_km requires the exact-distance branch; pass "
+        "dist_matrix (or neither matrix), not cos_matrix"
+    )
     if cos_matrix is not None or (dist_matrix is None and exclude_self_km == 0.0):
         # Cheap selection metric: cosine similarity on the unit-sphere
         # embedding — one MXU matmul instead of 33M trig evaluations.
