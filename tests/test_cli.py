@@ -280,3 +280,51 @@ def test_reconcile_cross_variable(tmp_path):
     assert np.isnan(a[7, 0, 0]) and np.isnan(b[9, 1, 1])
     # untouched elsewhere
     assert abs(b[50, 3, 3] - (a[50, 3, 3] + 8.0)) < 1e-6
+
+
+def test_point_rejects_out_of_grid_sites(tmp_path):
+    """A site outside the grid must error — rowcol() clips, so without the
+    raw-index check a far-away point silently interpolates at a border
+    cell."""
+    import dataclasses
+
+    import pytest
+
+    from topotpu.cli import steps
+
+    cfg = TopoConfig(
+        data_dir=str(tmp_path / "data"),
+        start_date="2015-01-01", end_date="2015-01-31",
+        tile_rows=24, tile_cols=24,
+    )
+    steps.step_synth_data(cfg, nrows=24, ncols=24, n_stations=30)
+    # synthetic worlds are centered near (-104, 40); (0, 0) is oceans away
+    with pytest.raises(ValueError, match="outside the run's grid"):
+        steps.step_point(cfg, [(0.0, 0.0)])
+
+
+def test_mosaic_refuses_to_publish_empty(tmp_path):
+    """A mosaic rerun that finds zero tile files must abort and leave any
+    previously published mosaics untouched (not overwrite them with
+    all-fill data)."""
+    import dataclasses
+
+    import pytest
+
+    from topotpu.cli import steps
+
+    cfg = TopoConfig(
+        data_dir=str(tmp_path / "data"),
+        start_date="2015-01-01", end_date="2015-01-31",
+        tile_rows=24, tile_cols=24,
+    )
+    steps.step_synth_data(cfg, nrows=24, ncols=24, n_stations=30)
+    (tmp_path / "data" / "tiles").mkdir()
+    # stand-ins for previously published good mosaics
+    for v in ("tmin", "tmax"):
+        (tmp_path / "data" / f"mosaic_{v}.h5").write_bytes(b"precious")
+    with pytest.raises(RuntimeError, match="no tile files"):
+        steps.step_mosaic(cfg)
+    for v in ("tmin", "tmax"):
+        assert (tmp_path / "data" / f"mosaic_{v}.h5").read_bytes() == b"precious"
+        assert not (tmp_path / "data" / f"mosaic_{v}.tmp").exists()

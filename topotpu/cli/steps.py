@@ -1016,14 +1016,19 @@ def step_mosaic(cfg: TopoConfig) -> dict:
         path = p[f"mosaic_{var}"]
         if not path.exists():
             continue
-        with h5py.File(path, "r") as f:
-            if f.attrs.get("layout") != "direct":
-                continue
-            direct[var] = {
-                "complete": bool(f.attrs.get("complete", False)),
-                "reconciled": bool(f.attrs.get("reconciled", False)),
-                "n_tiles": int(f.attrs.get("n_tiles", 0)),
-            }
+        try:
+            with h5py.File(path, "r") as f:
+                if f.attrs.get("layout") != "direct":
+                    continue
+                direct[var] = {
+                    "complete": bool(f.attrs.get("complete", False)),
+                    "reconciled": bool(f.attrs.get("reconciled", False)),
+                    "n_tiles": int(f.attrs.get("n_tiles", 0)),
+                }
+        except OSError:
+            # unreadable/corrupt mosaic: not direct-mode state — the
+            # tile-merge path below decides what (if anything) replaces it
+            continue
     def _latest_layout():
         """'direct' / 'tiles' / None — where the most recent interp run put
         its data, decided from the engine manifests (the source of truth).
