@@ -342,3 +342,28 @@ def test_mode_switch_to_direct_warns_and_recomputes(tmp_path, setup, capsys):
     for var in ("tmin", "tmax"):
         with h5py.File(d / f"mosaic_{var}.h5") as f:
             assert bool(f.attrs["complete"])
+
+
+def test_corrupt_mosaic_recovers_fresh(tmp_path, setup):
+    """A half-written/corrupt mosaic file from a crash must be detected at
+    open (unreadable -> rebuilt fresh), its stale mosaic-backed manifest
+    claims dropped, and the full product rebuilt."""
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    d = tmp_path / "corrupt"
+    (d / "tiles").mkdir(parents=True)
+    # garbage where the mosaic should be + a manifest claiming tiles in it
+    (d / "mosaic_tmin.h5").write_bytes(b"\x00" * 512)
+    (d / "tiles" / "manifest.json").write_text(json.dumps({
+        "tiles": {"tmin_00000": {"file": "mosaic_tmin.h5", "ts": 1.0},
+                  "tmax_00000": {"file": "mosaic_tmax.h5", "ts": 1.0}}
+    }))
+    eng = _direct_engine(cfg, rasters, days, d)
+    out = eng.run_pair("tmin", "tmax", a, b, progress=False)
+    assert out == {"tmin": 4, "tmax": 4}  # nothing falsely skipped
+    import h5py
+
+    for var in ("tmin", "tmax"):
+        with h5py.File(d / f"mosaic_{var}.h5") as f:
+            assert bool(f.attrs["complete"])
+            assert f.attrs["n_tiles"] == 4
