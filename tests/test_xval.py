@@ -101,3 +101,36 @@ def test_optimize_nnghs_anoms_sweeps_daily_protocol(world):
     assert all(v < 2.0 for v in out["mae"].values())
     # different ka really changes the daily fit
     assert out["mae"][8] != out["mae"][16]
+
+
+def test_optimize_nnghs_survives_poisoned_station():
+    """A station with a stale/NaN stored norm (BAD-flagged but still in the
+    pool) must not poison candidate scoring: pre-fix, NaN errors made every
+    candidate's score NaN and the argmin silently returned the FIRST
+    candidate. Scores must stay finite and the pick must follow real MAE."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from topotpu.core.config import InterpParams
+    from topotpu.interp.xval import optimize_nnghs
+    from topotpu.io.synthetic import make_world
+
+    rng = np.random.default_rng(3)
+    world = make_world(rng, nrows=32, ncols=32, n_stations=40, ndays=31)
+    nug, ps, rg = world.true_vario
+    vario = np.tile(np.array([nug, ps, rg], np.float32), (40, 12, 1))
+    norm = world.stn_norm.copy()
+    norm[7] = np.nan
+    res = optimize_nnghs(
+        world.stn_lon, world.stn_lat, world.stn_elev, world.stn_tdi,
+        world.stn_lst, norm, vario, np.ones((40, 12), bool),
+        candidates=(8, 16, 24), region_labels=np.zeros(40, int),
+        base_params=InterpParams(k_neighbors=16),
+    )
+    maes = {k: float(v.mean()) for k, v in res["mae"].items()}
+    assert all(np.isfinite(list(maes.values()))), maes
+    scores = {
+        k: float(np.abs(v)[np.isfinite(v)].mean())
+        for k, v in res["per_station_err"].items()
+    }
+    assert res["best"][0] == min(scores, key=scores.get)

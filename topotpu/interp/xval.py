@@ -91,7 +91,11 @@ def xval_interp_normals(
     # poison the MAE bar and bias the optimize_nnghs argmin against small
     # k (where sparse neighborhoods fail more often)
     truth = np.asarray(norm)
-    use = np.asarray(valid) & oks
+    # also require finite truth and error: a BAD station's stale/NaN stored
+    # norm is not a scorable entry (it would NaN the monthly aggregates)
+    use = (
+        np.asarray(valid) & oks & np.isfinite(truth) & np.isfinite(errs)
+    )
     maes, biases, r2s = [], [], []
     for m in range(12):
         e = errs[use[:, m], m]
