@@ -109,3 +109,29 @@ def test_aggregate_packed(tmp_path):
 
 def test_aggregate_f32(tmp_path):
     _run(tmp_path, packed=False)
+
+
+def test_aggregate_refuses_incomplete_direct_mosaic(tmp_path):
+    """Direct-mode mosaics are written in place; until 'complete' is
+    stamped the file may be a partial product of a crashed/running interp.
+    Aggregating it would silently emit hole-filled means — the stage must
+    report 'incomplete' instead, and proceed once the attr is set."""
+    dates = np.arange(np.datetime64("2015-01-01"), np.datetime64("2015-03-01"))
+    daily = np.full((len(dates), 3, 3), 7.5, np.float32)
+    for var in ("tmin", "tmax"):
+        path = tmp_path / f"mosaic_{var}.h5"
+        _write_mosaic(path, var, daily, dates, packed=True)
+        with h5py.File(path, "r+") as f:
+            f.attrs["layout"] = "direct"   # no 'complete' attr: mid-write
+    cfg = dataclasses.replace(TopoConfig(), data_dir=str(tmp_path))
+    out = step_aggregate(cfg)
+    assert out["tmin"]["status"] == "incomplete"
+    assert out["tmax"]["status"] == "incomplete"
+    assert not (tmp_path / "agg_tmin.h5").exists()
+
+    for var in ("tmin", "tmax"):
+        with h5py.File(tmp_path / f"mosaic_{var}.h5", "r+") as f:
+            f.attrs["complete"] = True
+    out = step_aggregate(cfg)
+    assert out["tmin"]["months"] == 2
+    assert (tmp_path / "agg_tmin.h5").exists()

@@ -328,3 +328,37 @@ def test_mosaic_refuses_to_publish_empty(tmp_path):
     for v in ("tmin", "tmax"):
         assert (tmp_path / "data" / f"mosaic_{v}.h5").read_bytes() == b"precious"
         assert not (tmp_path / "data" / f"mosaic_{v}.tmp").exists()
+
+
+def test_validate_day_axis_mismatch_fails_loudly(tmp_path):
+    """A stale/truncated mosaic with a shorter day axis must fail validate
+    with a clear error — the shared-range streaming scan would otherwise
+    read EMPTY blocks past its end and silently count the missing trailing
+    days as covered (all() over an empty axis is True)."""
+    import dataclasses
+
+    import h5py
+    import numpy as np
+    import pytest
+
+    from topotpu.cli.steps import step_validate
+    from topotpu.core.dates import get_days_metadata
+    from topotpu.io.rasters import RasterStack
+    from topotpu.io.synthetic import make_world
+
+    rng = np.random.default_rng(7)
+    days = get_days_metadata("2015-01-01", "2015-02-28")
+    world = make_world(rng, nrows=8, ncols=8, n_stations=10,
+                       ndays=days.ndays)
+    RasterStack.from_world(world).save(tmp_path / "rasters.h5")
+    for var, nd in (("tmin", days.ndays), ("tmax", days.ndays - 10)):
+        with h5py.File(tmp_path / f"mosaic_{var}.h5", "w") as f:
+            f.create_dataset(var, data=np.zeros((nd, 8, 8), np.float32))
+            for name in ("normal", "se"):
+                f.create_dataset(name, data=np.zeros((12, 8, 8), np.float32))
+    cfg = dataclasses.replace(
+        TopoConfig(), data_dir=str(tmp_path),
+        start_date="2015-01-01", end_date="2015-02-28",
+    )
+    with pytest.raises(RuntimeError, match="day-axis mismatch"):
+        step_validate(cfg)

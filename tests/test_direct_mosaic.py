@@ -367,3 +367,39 @@ def test_corrupt_mosaic_recovers_fresh(tmp_path, setup):
         with h5py.File(d / f"mosaic_{var}.h5") as f:
             assert bool(f.attrs["complete"])
             assert f.attrs["n_tiles"] == 4
+
+
+def test_resume_open_clears_stale_complete_attrs(tmp_path, setup):
+    """Resume-opening a FINALIZED mosaic (forced recompute: manifest cleared,
+    mosaic kept) must pop the stale complete/reconciled attrs — a crash
+    mid-rewrite would otherwise leave a half-updated mosaic that downstream
+    stages accept as finished. finalize() re-stamps them on success."""
+    import h5py
+
+    from topotpu.io.ncdf import MosaicWriter
+
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    d = tmp_path / "re"
+    eng = _direct_engine(cfg, rasters, days, d)
+    eng.run_pair("tmin", "tmax", a, b, progress=False)
+    with h5py.File(d / "mosaic_tmin.h5") as f:
+        assert bool(f.attrs["complete"]) and bool(f.attrs["reconciled"])
+
+    g_step = (cfg.pack_temp_hi - cfg.pack_temp_lo) / 65500.0
+    g_off = 0.5 * (cfg.pack_temp_hi + cfg.pack_temp_lo)
+    w = MosaicWriter(d / "mosaic_tmin.h5", "tmin", rasters.grid,
+                     days.date64, g_step, g_off, 24, 24)
+    assert not w.fresh  # same shape + pack grid -> resume, data kept
+    w.close()
+    with h5py.File(d / "mosaic_tmin.h5") as f:
+        assert "complete" not in f.attrs
+        assert "reconciled" not in f.attrs
+
+    # the engine path restores completeness end-to-end: clear the manifest,
+    # rerun -> all tiles rewritten in place, attrs re-stamped
+    (d / "tiles" / "manifest.json").write_text(json.dumps({"tiles": {}}))
+    eng2 = _direct_engine(cfg, rasters, days, d)
+    assert eng2.run_pair("tmin", "tmax", a, b, progress=False)["tmin"] == 4
+    with h5py.File(d / "mosaic_tmin.h5") as f:
+        assert bool(f.attrs["complete"]) and bool(f.attrs["reconciled"])

@@ -463,6 +463,16 @@ def step_aggregate(cfg: TopoConfig) -> dict:
             out[var] = {"status": "missing"}
             continue
         with h5py.File(src) as f:
+            # Direct-mode mosaics are written in place (the ONE exception to
+            # tmp+rename); the documented consistency contract is that readers
+            # must not treat the file as whole until 'complete' is stamped.
+            # Aggregating a partial mosaic would silently emit hole-filled
+            # means and report success — refuse instead (as step_mosaic does).
+            if f.attrs.get("layout") == "direct" and not f.attrs.get(
+                "complete", False
+            ):
+                out[var] = {"status": "incomplete"}
+                continue
             d = f[var]
             ndays, R, Cc = d.shape
             epoch = np.datetime64("1948-01-01", "D")
@@ -659,7 +669,19 @@ def step_validate(cfg: TopoConfig) -> dict:
                 0.5 * abs(float(d.attrs.get("scale_factor", 0.0)))
                 for d in (dn, dx) if d.dtype == np.int16
             )
-        ndays = max((f[v].shape[0] for v, f in files.items()), default=0)
+        # The scan below indexes every file with one shared t0 range; a
+        # shorter (stale/truncated) mosaic would return EMPTY blocks past its
+        # end, and fin.all(axis=0) over an empty block is all-True — the
+        # missing trailing days would silently count as covered. A day-axis
+        # mismatch between the two variables is itself an integrity failure
+        # (one mosaic is from a different/partial run): fail loudly.
+        axis_lens = {v: f[v].shape[0] for v, f in files.items()}
+        if len(set(axis_lens.values())) > 1:
+            raise RuntimeError(
+                f"mosaic day-axis mismatch {axis_lens} — one mosaic is "
+                "stale or truncated; rerun interp for the shorter variable"
+            )
+        ndays = max(axis_lens.values(), default=0)
         for t0 in range(0, ndays, 64):
             blks = {}
             for var, f in files.items():

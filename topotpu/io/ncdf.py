@@ -255,6 +255,14 @@ class MosaicWriter:
                     == float(np.float32(daily_offset))
                 )
                 if ok:  # resume: keep already-written tiles
+                    # A prior finalize may have stamped complete/reconciled;
+                    # this run is about to rewrite tiles in place (forced
+                    # recompute after a manifest clear), so the file must
+                    # stop claiming completeness until finalize re-stamps it
+                    # — otherwise a crash mid-rewrite leaves a half-updated
+                    # mosaic that readers accept as whole.
+                    for stale in ("complete", "reconciled"):
+                        f.attrs.pop(stale, None)
                     self._f = f
                     self.fresh = False
                     return
