@@ -82,6 +82,9 @@ def rig(tmp_path_factory):
         data_dir=str(data),
         start_date="2015-01-01", end_date="2015-02-28",
         tile_rows=8, tile_cols=8,
+        # this rig exercises the per-tile multi-host path (tile files +
+        # merge-based mosaic); the direct shard path has its own tests below
+        mosaic_direct=False,
         interp=InterpParams(k_neighbors=8, k_neighbors_anom=8,
                             max_tile_stations=64),
         mesh=MeshParams(n_devices=2),
@@ -208,6 +211,7 @@ def test_two_process_chunked_production(tmp_path_factory):
         data_dir=str(data),
         start_date="2014-01-01", end_date="2015-12-31",  # 2 years
         tile_rows=8, tile_cols=8,
+        mosaic_direct=False,  # per-tile multi-host path under test here
         interp=InterpParams(k_neighbors=8, k_neighbors_anom=8,
                             max_tile_stations=64),
         mesh=MeshParams(n_devices=2),
@@ -254,3 +258,118 @@ def test_two_process_chunked_production(tmp_path_factory):
     # full-span day axis survived the chunk concatenation
     daily = read_var(data / "mosaic_tmin.h5", C.TMIN)
     assert daily.shape[0] == 730
+
+
+def test_two_process_direct_mosaic_virtual_master(tmp_path_factory):
+    """Multi-host direct-to-mosaic (round-3 review item: the old
+    process_count==1 gate degraded multi-host production to per-tile files
+    + a full mosaic copy pass). Each process writes its strided tile set
+    straight into its own full-grid shard; the mosaic stage publishes ONE
+    virtual-dataset master per variable at metadata cost — and the result
+    is bitwise identical to a single-process direct run (same mesh size,
+    same config-fixed pack lattice)."""
+    import dataclasses as dc
+
+    import h5py
+
+    tmp = tmp_path_factory.mktemp("mh_direct")
+    data = tmp / "data"
+    cfg = TopoConfig(
+        data_dir=str(data),
+        start_date="2015-01-01", end_date="2015-02-28",
+        tile_rows=8, tile_cols=8,
+        interp=InterpParams(k_neighbors=8, k_neighbors_anom=8,
+                            max_tile_stations=64),
+        mesh=MeshParams(n_devices=2),
+    )
+    assert cfg.mosaic_direct  # production default drives this path
+    world, days = _build_artifacts(data, cfg)
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "topotpu.cli", "interp",
+             "--config", str(cfg_path),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            cwd=REPO, env=_worker_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    # per-process shards, finalized, with identity attrs; NO per-tile files
+    for var in (C.TMIN, C.TMAX):
+        for i in range(2):
+            sp = data / f"mosaic_{var}_p{i:03d}.h5"
+            assert sp.exists(), sp
+            with h5py.File(sp) as f:
+                assert f.attrs["layout"] == "direct"
+                assert bool(f.attrs["complete"])
+                assert int(f.attrs["process_index"]) == i
+                assert int(f.attrs["process_count"]) == 2
+    assert not list((data / "tiles").glob("*_tile*.h5"))
+
+    from topotpu.cli import steps
+
+    res = steps.step_mosaic(cfg)
+    from topotpu.core.grid import Tiling
+
+    rasters = RasterStack.load(data / "rasters.h5")
+    tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    n_land = sum(1 for _ in tiling.land_tiles(rasters.landmask))
+    assert res[C.TMIN] == res[C.TMAX] == n_land
+    for var in (C.TMIN, C.TMAX):
+        with h5py.File(data / f"mosaic_{var}.h5") as f:
+            assert bool(f.attrs["virtual"])
+            assert bool(f.attrs["complete"])
+            assert f[var].is_virtual  # metadata-only: no tile data copied
+
+    val = steps.step_validate(cfg)
+    assert val[C.TMIN]["status"] == "ok", val
+    assert val[C.TMAX]["status"] == "ok", val
+    assert val["crossvar"]["violations"] == 0
+
+    # bitwise parity vs a single-process direct run: same mesh size, the
+    # config-fixed run-global pack lattice, and stations loaded through the
+    # SAME serial-DB path the CLI workers used (f32 norm+anom round-trips
+    # are not associative, so hand-built sets would differ in the last bit)
+    from topotpu.cli.steps import _station_set
+    from topotpu.dist.engine import TileEngine
+
+    sets = {
+        v: _station_set(data / f"serial_{v}.h5", days)
+        for v in (C.TMIN, C.TMAX)
+    }
+    single = tmp / "single"
+    single.mkdir()
+    eng = TileEngine(
+        cfg, rasters, days, single / "tiles",
+        mosaic_paths={v: single / f"mosaic_{v}.h5" for v in (C.TMIN, C.TMAX)},
+    )
+    eng.run_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX], progress=False)
+    for var in (C.TMIN, C.TMAX):
+        with h5py.File(data / f"mosaic_{var}.h5") as fm, \
+             h5py.File(single / f"mosaic_{var}.h5") as fs:
+            assert np.array_equal(fm[var][...], fs[var][...])
+            assert np.array_equal(
+                np.nan_to_num(fm["normal"][...]),
+                np.nan_to_num(fs["normal"][...]),
+            )
+            assert np.array_equal(
+                np.nan_to_num(fs["se"][...]),
+                np.nan_to_num(fm["se"][...]),
+            )
+
+    # a missing shard must fail assembly loudly (resume contract), and the
+    # already-published master must survive the failed re-assembly intact
+    (data / f"mosaic_{C.TMIN}_p001.h5").rename(tmp / "stash.h5")
+    with pytest.raises(RuntimeError, match="shard"):
+        steps.step_mosaic(cfg)
+    with h5py.File(data / f"mosaic_{C.TMIN}.h5") as f:
+        assert bool(f.attrs["complete"])  # old master untouched (tmp+rename)

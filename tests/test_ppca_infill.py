@@ -100,3 +100,49 @@ def test_ppca_exact_on_lowrank_noiseless(rng):
     assert err.mean() < 0.03 * scale, f"mean err {err.mean():.4f} (scale {scale:.2f})"
     assert err.max() < 0.5 * scale, f"max err {err.max():.4f}"
     assert float(np.asarray(res.sigma2).max()) < 0.01
+
+
+def test_ppca_per_target_convergence():
+    """Convergence is decided per batch element (the reference decided EM
+    convergence per station): a planted hard target must neither inflate
+    the easy targets' iteration counts nor hide behind a batch-global
+    converged flag — and the easy targets' results must be unchanged by
+    the hard target's presence in the batch."""
+    rng = np.random.default_rng(3)  # fixed: the easy/hard split is seeded
+    B, T, V, q = 2, 400, 10, 2
+    z = rng.standard_normal((B, T, q)).astype(np.float32)
+    w = rng.standard_normal((B, V, q)).astype(np.float32)
+    Y = np.einsum("btq,bvq->btv", z, w) + 0.1 * rng.standard_normal(
+        (B, T, V)
+    ).astype(np.float32)
+    mask = rng.uniform(size=(B, T, V)) > 0.2
+    # hard target: pure heavy noise with a worst-case missing pattern —
+    # no low-rank structure for EM to lock onto quickly (near-zero-noise
+    # low-rank data is NOT easy for EM: the sigma^2->0 limit is stiff,
+    # hence the moderate 0.1 noise on the easy targets above)
+    Yh = 5.0 * rng.standard_normal((1, T, V)).astype(np.float32)
+    mh = rng.uniform(size=(1, T, V)) > 0.6
+    tol, max_iters = 1e-4, 60
+
+    easy = ppca_impute(jnp.asarray(Y), jnp.asarray(mask), q,
+                       max_iters=max_iters, tol=tol)
+    both = ppca_impute(
+        jnp.asarray(np.concatenate([Y, Yh])),
+        jnp.asarray(np.concatenate([mask, mh])), q,
+        max_iters=max_iters, tol=tol,
+    )
+    # per-target diagnostics: easy targets converge early; the hard one
+    # runs to the cap and reports NOT converged
+    assert np.asarray(both.converged)[:B].all()
+    assert not np.asarray(both.converged)[B]
+    assert int(np.asarray(both.n_iters)[B]) == max_iters
+    # the hard target must not inflate the others' iteration counts...
+    np.testing.assert_array_equal(
+        np.asarray(both.n_iters)[:B], np.asarray(easy.n_iters)
+    )
+    assert (np.asarray(easy.n_iters) < max_iters).all()
+    # ...nor perturb their fixed points (element-wise independent EM)
+    np.testing.assert_allclose(
+        np.asarray(both.filled)[:B], np.asarray(easy.filled),
+        rtol=0, atol=1e-5,
+    )

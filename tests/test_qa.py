@@ -109,3 +109,44 @@ def test_elevation_check(network):
 
     fixed = fix_elevation(elev, bad, dem)
     assert abs(fixed[3] - world.stn_elev[3]) < 60.0
+
+
+def test_biweight_rows_matches_reference():
+    """The vectorized sort-based biweight (clim-outlier fast path) must
+    reproduce the original nanmedian-based estimator exactly."""
+    from topotpu.qa.qa_temp import _biweight, _biweight_rows
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(5.0, 4.0, (40, 217)).astype(np.float64)
+    x[rng.random(x.shape) < 0.2] = np.nan
+    x[0] = np.nan                      # all-missing row
+    x[1, 10:] = np.nan                 # nearly-empty row
+    m_ref, s_ref = _biweight(x, axis=1)
+    m_new, s_new, cnt = _biweight_rows(x)
+    ok = np.isfinite(m_ref)
+    np.testing.assert_allclose(m_new[ok], m_ref[ok], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(s_new[ok], s_ref[ok], rtol=0, atol=1e-12)
+    assert cnt[0] == 0
+    assert np.array_equal(cnt, np.isfinite(x).sum(1))
+
+
+def test_duplicate_hash_matmul_exactness():
+    """_duplicate_pairs must find exactly the planted duplicates — including
+    a pair that agrees only on the common observed subset — and reject
+    near-duplicates differing in a single slot (the integer-exact matmul
+    identity cannot round that away)."""
+    from topotpu.qa.qa_temp import _duplicate_pairs
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(0, 8, (3, 6, 372)).astype(np.float32)
+    A[:, :, rng.random(372) < 0.2] = np.nan
+    # station 0: years 1 and 4 identical on the intersection, with
+    # DIFFERENT observation masks (year 4 missing a chunk year 1 has)
+    A[0, 4] = A[0, 1]
+    A[0, 4, 50:120] = np.nan
+    # station 1: years 2/5 equal except ONE slot differs by one ulp-ish step
+    A[1, 5] = A[1, 2]
+    A[1, 5, 200] = A[1, 2, 200] + np.float32(1e-4)
+    got = _duplicate_pairs(A, min_common=100)
+    assert (0, 1, 4) in got
+    assert all(not (s == 1 and i == 2 and j == 5) for s, i, j in got)

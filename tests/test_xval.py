@@ -126,11 +126,54 @@ def test_optimize_nnghs_survives_poisoned_station():
         world.stn_lst, norm, vario, np.ones((40, 12), bool),
         candidates=(8, 16, 24), region_labels=np.zeros(40, int),
         base_params=InterpParams(k_neighbors=16),
+        parsimony=False,  # this test checks NaN-robust scoring vs argmin
     )
     maes = {k: float(v.mean()) for k, v in res["mae"].items()}
     assert all(np.isfinite(list(maes.values()))), maes
-    scores = {
-        k: float(np.abs(v)[np.isfinite(v)].mean())
-        for k, v in res["per_station_err"].items()
-    }
+
+    def stn_score(v):  # per-station MAE aggregation, as optimize_nnghs scores
+        e = np.abs(v)
+        fin = np.isfinite(e)
+        stn = np.where(fin, e, 0.0).sum(1) / np.maximum(fin.sum(1), 1)
+        return float(stn[fin.any(1)].mean())
+
+    scores = {k: stn_score(v) for k, v in res["per_station_err"].items()}
     assert res["best"][0] == min(scores, key=scores.get)
+
+
+def test_pick_k_one_se_rule():
+    """The 1-SE parsimony rule: smallest k within one standard error of the
+    best mean MAE — a flat MAE curve (denser-than-needed network) must stop
+    saturating at the largest candidate, while a genuinely better large k
+    (gap >> SE) is still chosen."""
+    from topotpu.interp.xval import _pick_k
+
+    # flat curve: 48 is the argmin by a hair, well inside 8's error bar
+    flat = {8: (0.402, 0.01), 16: (0.401, 0.01), 24: (0.4005, 0.01),
+            32: (0.4002, 0.01), 48: (0.400, 0.01)}
+    assert _pick_k(flat, 16, parsimony=True) == 8
+    assert _pick_k(flat, 16, parsimony=False) == 48
+    # decisive curve: the improvement dwarfs the SE -> parsimony agrees
+    steep = {8: (0.80, 0.01), 16: (0.55, 0.01), 32: (0.40, 0.01)}
+    assert _pick_k(steep, 16, parsimony=True) == 32
+    assert _pick_k({}, 16, parsimony=True) == 16  # empty -> fallback
+
+
+def test_optimize_nnghs_parsimony_not_structurally_max(world):
+    """On a dense network with a short-range variogram, extra far neighbors
+    add ~nothing — LOO-MAE alone still argmins at the largest candidate
+    (more averaging always looks epsilon-better), which round-3 review
+    called out as not-an-optimizer. The 1-SE pick must come in BELOW the
+    max candidate here, and never above the argmin."""
+    w = world
+    S = w.n_stations
+    nug, ps, rg = w.true_vario
+    vario = np.tile(np.array([nug, ps, rg], np.float32), (S, 12, 1))
+    out = optimize_nnghs(
+        w.stn_lon, w.stn_lat, w.stn_elev, w.stn_tdi, w.stn_lst,
+        w.stn_norm, vario, np.ones((S, 12), bool),
+        candidates=(8, 16, 24, 32), region_labels=np.zeros(S, int),
+    )
+    assert out["best"][0] < 32, (
+        "1-SE rule still saturated at the max candidate"
+    )

@@ -1008,6 +1008,72 @@ def reconcile_cross_variable(p_tmin, p_tmax, time_chunk: int = 64) -> dict:
 # ---------------------------------------------------------- stage: mosaic
 
 
+def _assemble_direct_shards(cfg, p, rasters, tiling, days) -> dict:
+    """Multi-host direct-to-mosaic finalization: every host wrote its
+    strided tile set straight into its own full-grid shard
+    (mosaic_<var>_pNNN.h5); publish ONE master mosaic per variable as an
+    HDF5 virtual dataset over the shards — metadata-only, no tile copy
+    (the multi-host analogue of the single-process direct branch below).
+    Cross-variable reconcile normally happened on device per tile; the
+    host fallback runs per shard PAIR (both variables' shard k cover the
+    same tiles — ownership is variable-independent) before assembly."""
+    import h5py
+
+    from topotpu.io.ncdf import build_virtual_mosaic
+
+    shard_lists = {}
+    for var in (C.TMIN, C.TMAX):
+        found = sorted(
+            p["root"].glob(f"mosaic_{var}_p[0-9][0-9][0-9].h5")
+        )
+        if not found:
+            raise RuntimeError(
+                f"direct-mode shard claims exist but no mosaic_{var}_p*.h5 "
+                "shards found — rerun the interp stage"
+            )
+        with h5py.File(found[0], "r") as f:
+            n_proc = int(f.attrs.get("process_count", 1))
+        if len(found) != n_proc:
+            raise RuntimeError(
+                f"direct-mode mosaic incomplete: {len(found)} of {n_proc} "
+                f"{var} shards present — rerun the interp stage on the "
+                "missing hosts (their manifests resume)"
+            )
+        shard_lists[var] = found
+
+    # host reconcile fallback, shard pair by shard pair
+    crossvar = None
+    for pn, px in zip(shard_lists[C.TMIN], shard_lists[C.TMAX]):
+        with h5py.File(pn, "r") as a, h5py.File(px, "r") as b:
+            done = bool(a.attrs.get("reconciled", False)) and bool(
+                b.attrs.get("reconciled", False)
+            )
+        if done:
+            continue
+        r = reconcile_cross_variable(pn, px)
+        if crossvar is None:
+            crossvar = {"violations": 0, "rate": 0.0, "worst_crossing_C": 0.0}
+        crossvar["violations"] += r["violations"]
+        crossvar["worst_crossing_C"] = max(
+            crossvar["worst_crossing_C"], r["worst_crossing_C"]
+        )
+        for sp in (pn, px):
+            with h5py.File(sp, "r+") as f:
+                f.attrs["reconciled"] = True
+
+    land = list(tiling.land_tiles(rasters.landmask))
+    out: dict = {}
+    for var in (C.TMIN, C.TMAX):
+        res = build_virtual_mosaic(
+            p[f"mosaic_{var}"], var, shard_lists[var],
+            rasters.grid, days.date64, land,
+        )
+        out[var] = res["n_tiles"]
+    if crossvar is not None:
+        out["crossvar"] = crossvar
+    return out
+
+
 def step_mosaic(cfg: TopoConfig) -> dict:
     """Assemble per-tile files into full-grid mosaics (the reference's
     final mosaic step, SURVEY §2.15)."""
@@ -1052,32 +1118,41 @@ def step_mosaic(cfg: TopoConfig) -> dict:
             # tile-merge path below decides what (if anything) replaces it
             continue
     def _latest_layout():
-        """'direct' / 'tiles' / None — where the most recent interp run put
-        its data, decided from the engine manifests (the source of truth).
-        Mosaic attrs alone can be stale: a completed direct mosaic left on
-        disk must not short-circuit assembly of per-tile output written by
-        a LATER interp run in a per-tile configuration."""
+        """'direct' / 'shard' / 'tiles' / None — where the most recent
+        interp run put its data, decided from the engine manifests (the
+        source of truth). Mosaic attrs alone can be stale: a completed
+        direct mosaic left on disk must not short-circuit assembly of
+        per-tile output written by a LATER interp run in a per-tile
+        configuration. 'shard' = multi-host direct claims pointing at
+        per-process mosaic shards (mosaic_<var>_pNNN.h5)."""
         import json as _json
+        import re as _re
 
         mans = [p["tiles"] / "manifest.json"] + [
             d / "manifest.json" for d in sorted(p["tiles"].glob("chunk_*_*"))
         ]
-        newest = {"direct": -1.0, "tiles": -1.0}
+        newest = {"direct": -1.0, "tiles": -1.0, "shard": -1.0}
         for m in mans:
             if not m.exists():
                 continue
             for info in _json.loads(m.read_text()).get("tiles", {}).values():
-                kind = (
-                    "direct"
-                    if str(info.get("file", "")).startswith("mosaic_")
-                    else "tiles"
-                )
+                fname = str(info.get("file", ""))
+                if not fname.startswith("mosaic_"):
+                    kind = "tiles"
+                elif _re.search(r"_p\d{3}\.h5$", fname):
+                    kind = "shard"
+                else:
+                    kind = "direct"
                 newest[kind] = max(newest[kind], float(info.get("ts", 0.0)))
-        if newest["direct"] < 0 and newest["tiles"] < 0:
+        if all(v < 0 for v in newest.values()):
             return None
-        return "direct" if newest["direct"] >= newest["tiles"] else "tiles"
+        return max(newest, key=newest.get)
 
-    if direct and cfg.mosaic_direct and _latest_layout() != "tiles":
+    layout = _latest_layout()
+    if cfg.mosaic_direct and layout == "shard":
+        return _assemble_direct_shards(cfg, p, rasters, tiling, _days(cfg))
+
+    if direct and cfg.mosaic_direct and layout != "tiles":
         if set(direct) != {C.TMIN, C.TMAX} or not all(
             d["complete"] for d in direct.values()
         ):

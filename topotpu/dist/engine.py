@@ -152,12 +152,17 @@ class TileEngine:
         self._flat = bool(config.output_pack)
         # Direct-to-mosaic mode: writer thread places tiles straight into
         # the final mosaic on the run-global pack grid (io.ncdf.MosaicWriter
-        # docstring has the full story). Requires the packed path, a single
-        # process (one HDF5 writer per file), and knowing the mosaic paths.
+        # docstring has the full story). Requires the packed path and
+        # knowing the mosaic paths. Multi-host keeps the single-writer-per-
+        # file discipline by giving each process its OWN mosaic shard
+        # (mosaic_<var>_pNNN.h5) over its strided tile set; the mosaic
+        # stage concatenates the shards into one virtual (VDS) master at
+        # metadata cost only — no tile-copy pass (round-3 review item: the
+        # process_count==1 gate silently degraded multi-host production to
+        # the per-tile path + full mosaic copy).
         self.mosaic_paths = dict(mosaic_paths or {})
         self._direct = bool(
-            self._flat and config.mosaic_direct
-            and self.ctx.process_count == 1 and self.mosaic_paths
+            self._flat and config.mosaic_direct and self.mosaic_paths
         )
         self._mosaic: dict = {}       # var -> open MosaicWriter
         self._mosaic_fresh: set = set()  # vars whose mosaic was (re)created
@@ -216,6 +221,16 @@ class TileEngine:
         )
         return np.tile(one, n_vars)
 
+    def _mosaic_path(self, var: str) -> pathlib.Path:
+        """The file THIS process writes: the final mosaic single-process,
+        or this host's shard (mosaic_<var>_pNNN.h5) in a multi-host run."""
+        path = self.mosaic_paths[var]
+        if self.ctx.process_count > 1:
+            return path.with_name(
+                f"{path.stem}_p{self.ctx.process_index:03d}{path.suffix}"
+            )
+        return path
+
     def _open_mosaic(self, var: str):
         """Open/create the direct-mode mosaic for ``var``. MAIN thread only,
         before the pipeline starts (the writer thread then has exclusive
@@ -231,7 +246,7 @@ class TileEngine:
             else self.days.date64
         )
         w = MosaicWriter(
-            self.mosaic_paths[var], var, self.rasters.grid, dates,
+            self._mosaic_path(var), var, self.rasters.grid, dates,
             float(sc[0]), float(sc[1]),
             self.config.tile_rows, self.config.tile_cols,
             compress=self.config.output_compress,
@@ -260,7 +275,7 @@ class TileEngine:
         dropped — those files still exist on disk and remain valid state
         for a per-tile resume or a tile-merge mosaic pass (mode switches
         must not silently destroy the manifest-is-checkpoint contract)."""
-        mosaic_name = self.mosaic_paths[var].name
+        mosaic_name = self._mosaic_path(var).name
         stale = [
             k for k, info in self.manifest["tiles"].items()
             if k.startswith(var + "_") and info.get("file") == mosaic_name
@@ -277,11 +292,19 @@ class TileEngine:
         if not self._mosaic_owned:
             return
         if finalize and self._mosaic:
+            # multi-host: each shard records ITS OWN tile count + identity;
+            # the mosaic stage checks all shards are present and complete
+            # before assembling the virtual master
             n_land = sum(
-                1 for _ in self.tiling.land_tiles(self.rasters.landmask)
+                1 for t in self.tiling.land_tiles(self.rasters.landmask)
+                if self.ctx.owns_tile(t.tile_id)
             )
             for w in self._mosaic.values():
-                w.finalize(n_land, reconciled=reconciled)
+                w.finalize(
+                    n_land, reconciled=reconciled,
+                    process_index=self.ctx.process_index,
+                    process_count=self.ctx.process_count,
+                )
         for w in self._mosaic.values():
             w.close()
         self._mosaic.clear()
@@ -413,7 +436,7 @@ class TileEngine:
         if info is None:
             return False
         if self._direct:
-            return info.get("file") == self.mosaic_paths[var].name
+            return info.get("file") == self._mosaic_path(var).name
         return self._tile_file(spec, var).exists()
 
     def pending_tiles(self, var: str) -> Iterator[TileSpec]:

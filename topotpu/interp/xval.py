@@ -243,14 +243,42 @@ def xval_infill(
     }
 
 
+def _pick_k(scores: dict, fallback: int, parsimony: bool) -> int:
+    """Choose k from {k: (mean_mae, se)}. ``parsimony`` applies the 1-SE
+    rule: the SMALLEST k whose mean MAE is within one standard error of the
+    best — a bare argmin over LOO-MAE structurally saturates at the largest
+    candidate at ordinary station densities (more averaging always looks
+    marginally better), which is not an optimizer (gstat-era practice and
+    the reference's optim jobs intend the cheapest adequate neighborhood).
+    """
+    if not scores:
+        return fallback
+    kbest = min(scores, key=lambda k: scores[k][0])
+    if not parsimony:
+        return int(kbest)
+    bar = scores[kbest][0] + scores[kbest][1]
+    return int(min(k for k in scores if scores[k][0] <= bar))
+
+
+def _mean_se(vals: np.ndarray):
+    """(mean, standard error) over finite entries; None if empty."""
+    vals = vals[np.isfinite(vals)]
+    if not vals.size:
+        return None
+    se = float(vals.std(ddof=1) / np.sqrt(vals.size)) if vals.size > 1 else 0.0
+    return float(vals.mean()), se
+
+
 def optimize_nnghs(
     stn_lon, stn_lat, stn_elev, stn_tdi, stn_lst, stn_norm, stn_vario,
     stn_valid,
     candidates=(8, 16, 24, 32, 48),
     region_labels: np.ndarray | None = None,
     base_params: InterpParams | None = None,
+    parsimony: bool = True,
 ) -> dict:
-    """Sweep neighborhood sizes via LOO x-val; per-region argmin MAE.
+    """Sweep neighborhood sizes via LOO x-val; per-region smallest k within
+    one SE of the best MAE (``parsimony=False`` -> bare argmin).
 
     ``region_labels``: (S,) ints (e.g. climate-division ids); None = one
     global region. Returns {"best": {region: k}, "mae": {k: (12,)} , ...}.
@@ -281,13 +309,22 @@ def optimize_nnghs(
         # over NaNs would silently pick the first candidate)
         scores = {}
         for k in mae_by_k:
-            vals = np.abs(err_by_k[k][in_r])
-            vals = vals[np.isfinite(vals)]
-            if vals.size:
-                scores[k] = float(vals.mean())
-        best[int(r)] = (
-            min(scores, key=scores.get) if scores else int(base.k_neighbors)
-        )
+            # aggregate to per-station MAE first: the station is the
+            # independent unit for the 1-SE bar (a station's 12 month
+            # errors share its location and are strongly correlated, so a
+            # flat mean over station-months understates the SE ~3.5x)
+            err = np.abs(err_by_k[k][in_r])
+            fin = np.isfinite(err)
+            cnt = fin.sum(axis=1)
+            stn_mae = np.where(
+                cnt > 0,
+                np.where(fin, err, 0.0).sum(axis=1) / np.maximum(cnt, 1),
+                np.nan,
+            )
+            ms = _mean_se(stn_mae)
+            if ms is not None:
+                scores[k] = ms
+        best[int(r)] = _pick_k(scores, int(base.k_neighbors), parsimony)
     return {"best": best, "mae": mae_by_k, "per_station_err": err_by_k}
 
 
@@ -297,11 +334,13 @@ def optimize_nnghs_anoms(
     candidates=(8, 16, 24, 32),
     region_labels: np.ndarray | None = None,
     base_params: InterpParams | None = None,
+    parsimony: bool = True,
 ) -> dict:
     """Sweep the ANOMALY (GWR daily) neighborhood size via daily LOO x-val,
     holding the normals k fixed — the reference tunes the two sizes with
     separate jobs (mpi_optim_nstns_norms vs mpi_optim_nstns_anoms,
-    SURVEY §2.16). Per-region argmin of per-station daily MAE.
+    SURVEY §2.16). Per-region smallest k within one SE of the best
+    per-station daily MAE (``parsimony=False`` -> bare argmin).
 
     Returns {"best": {region: ka}, "mae": {ka: float},
     "per_station_mae": {ka: (S,)}}.
@@ -332,12 +371,10 @@ def optimize_nnghs_anoms(
         # month — same finite-only scoring + fallback as optimize_nnghs
         scores = {}
         for k in stn_mae_by_k:
-            vals = stn_mae_by_k[k][in_r]
-            vals = vals[np.isfinite(vals)]
-            if vals.size:
-                scores[k] = float(vals.mean())
-        best[int(r)] = (
-            min(scores, key=scores.get)
-            if scores else min(base.k_neighbors_anom, base.k_neighbors)
+            ms = _mean_se(stn_mae_by_k[k][in_r])
+            if ms is not None:
+                scores[k] = ms
+        best[int(r)] = _pick_k(
+            scores, min(base.k_neighbors_anom, base.k_neighbors), parsimony
         )
     return {"best": best, "mae": mae_by_k, "per_station_mae": stn_mae_by_k}

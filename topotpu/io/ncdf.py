@@ -317,10 +317,17 @@ class MosaicWriter:
         # (fdatasync on a separate fd) sees this tile's pages
         f.flush()
 
-    def finalize(self, n_tiles: int, reconciled: bool) -> None:
+    def finalize(self, n_tiles: int, reconciled: bool,
+                 process_index: int = 0, process_count: int = 1) -> None:
+        """``process_count > 1`` marks this file as one host's SHARD of a
+        multi-host direct run (it holds only the tiles with
+        tile_id % process_count == process_index); build_virtual_mosaic
+        assembles the shards into the published master."""
         self._f.attrs["n_tiles"] = n_tiles
         self._f.attrs["complete"] = True
         self._f.attrs["reconciled"] = bool(reconciled)
+        self._f.attrs["process_index"] = process_index
+        self._f.attrs["process_count"] = process_count
 
     def close(self) -> None:
         self._f.close()
@@ -330,6 +337,105 @@ class MosaicWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def build_virtual_mosaic(
+    dst: str | pathlib.Path,
+    var: str,
+    shard_paths: list,          # per-process shard files, index = process id
+    grid: GridSpec,
+    dates: np.ndarray,
+    land_tiles: list,           # TileSpecs of every land tile in the grid
+) -> dict:
+    """Assemble multi-host direct-mode shards into ONE published mosaic as
+    an HDF5 virtual dataset (VDS) — metadata-only, no tile data is copied.
+
+    Each shard holds the full-grid-shaped datasets but only its owned tiles
+    (tile_id % P == process_index) were ever written; the master maps each
+    land tile's region to its owning shard. HDF5 resolves the relative
+    source file names against the master's directory, so the whole data_dir
+    stays relocatable. Readers are unchanged: a VDS reads like any dataset
+    (unmapped ocean regions return the declared fillvalue).
+
+    All shards must be finalized (``complete``); raises otherwise. Returns
+    {"n_tiles": total, "reconciled": all-shards-reconciled}.
+    """
+    dst = pathlib.Path(dst)
+    P = len(shard_paths)
+    n_tiles = 0
+    reconciled = True
+    meta = []
+    for i, sp in enumerate(shard_paths):
+        with h5py.File(sp, "r") as f:
+            if not f.attrs.get("complete", False):
+                raise RuntimeError(
+                    f"direct-mode shard {sp.name} is not finalized — rerun "
+                    "the interp stage on that host (its manifest resumes)"
+                )
+            if int(f.attrs.get("process_index", 0)) != i or int(
+                f.attrs.get("process_count", 1)
+            ) != P:
+                raise RuntimeError(
+                    f"shard {sp.name}: identity attrs "
+                    f"(p{f.attrs.get('process_index')}/"
+                    f"{f.attrs.get('process_count')}) do not match its slot "
+                    f"(p{i}/{P}) — mixed runs in one data dir?"
+                )
+            n_tiles += int(f.attrs.get("n_tiles", 0))
+            reconciled &= bool(f.attrs.get("reconciled", False))
+            d = f[var]
+            meta.append({
+                "shape": d.shape,
+                "dtype": d.dtype,
+                "attrs": {k: d.attrs[k] for k in
+                          ("scale_factor", "add_offset", "_FillValue",
+                           "units", "long_name") if k in d.attrs},
+            })
+            if meta[0]["shape"] != meta[-1]["shape"] or (
+                meta[0]["attrs"].get("scale_factor")
+                != meta[-1]["attrs"].get("scale_factor")
+            ):
+                raise RuntimeError(
+                    f"shard {sp.name}: shape/pack grid differs from shard 0 "
+                    "— shards are not from one run"
+                )
+    shape = meta[0]["shape"]
+    R, Cc = grid.nrows, grid.ncols
+
+    tmp = dst.with_suffix(dst.suffix + ".tmp")
+    with h5py.File(tmp, "w") as f:
+        _write_coords(f, grid, dates)
+        specs = [
+            (var, shape, meta[0]["dtype"],
+             FILL_I16 if meta[0]["dtype"] == np.int16 else np.nan,
+             ("time", "lat", "lon")),
+            ("normal", (12, R, Cc), np.float32, np.nan, ("mth", "lat", "lon")),
+            ("se", (12, R, Cc), np.float32, np.nan, ("mth", "lat", "lon")),
+        ]
+        for name, shp, dt, fill, dims in specs:
+            layout = h5py.VirtualLayout(shape=shp, dtype=dt)
+            sources = [
+                h5py.VirtualSource(sp.name, name, shape=shp)
+                for sp in shard_paths
+            ]
+            for ts in land_tiles:
+                sl = (slice(None),
+                      slice(ts.row0, ts.row0 + ts.nrows),
+                      slice(ts.col0, ts.col0 + ts.ncols))
+                layout[sl] = sources[ts.tile_id % P][sl]
+            v = f.create_virtual_dataset(name, layout, fillvalue=fill)
+            src_attrs = meta[0]["attrs"] if name == var else {}
+            for k, val in src_attrs.items():
+                v.attrs[k] = val
+            _attach_dims(f, v, dims)
+        f.attrs["layout"] = "direct"
+        f.attrs["virtual"] = True
+        f.attrs["n_tiles"] = n_tiles
+        f.attrs["n_shards"] = P
+        f.attrs["complete"] = True
+        f.attrs["reconciled"] = bool(reconciled)
+    os.replace(tmp, dst)
+    return {"n_tiles": n_tiles, "reconciled": bool(reconciled)}
 
 
 def decode_array(data: np.ndarray, dset) -> np.ndarray:

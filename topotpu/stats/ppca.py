@@ -116,35 +116,58 @@ def ppca_impute(
         sig2n = jnp.maximum(jnp.mean((X - recon) ** 2, axis=(-2, -1)), 1e-8)
         return recon, Wn, cn, sig2n
 
+    # Convergence is decided PER TARGET (the reference decided per-station
+    # EM convergence; round-3 review item): each batch element carries its
+    # own relative-change delta, a converged element is frozen (its state
+    # stops changing and its n_iters stops counting), and the loop runs
+    # until every element converged or max_iters. The SPMD step still
+    # computes the full batch each iteration — freezing buys exact
+    # per-station n_iters/converged diagnostics and keeps one hard target
+    # from perturbing the others' fixed points, at zero shape cost.
     def cond(state):
-        _, _, _, _, it, delta = state
-        return (it < max_iters) & (delta > tol)
+        _, _, _, _, it, delta, _ = state
+        return (it < max_iters) & jnp.any(delta > tol)
 
     def body(state):
-        X, W, c, sig2, it, _ = state
+        X, W, c, sig2, it, delta, n_it = state
+        active = delta > tol                               # (B,)
         recon, Wn, cn, sig2n = em_step(X, W, c, sig2)
         Xn = jnp.where(obs_mask, Yc, recon)
-        denom = jnp.sqrt(jnp.mean(Xn**2) + 1e-12)
-        delta = jnp.sqrt(jnp.mean((Xn - X) ** 2)) / denom
-        return Xn, Wn, cn, sig2n, it + 1, delta
+        a3 = active[:, None, None]
+        Xn = jnp.where(a3, Xn, X)
+        Wn = jnp.where(a3, Wn, W)
+        cn = jnp.where(active[:, None], cn, c)
+        sig2n = jnp.where(active, sig2n, sig2)
+        num = jnp.sqrt(jnp.mean((Xn - X) ** 2, axis=(-2, -1)))
+        den = jnp.sqrt(jnp.mean(Xn**2, axis=(-2, -1)) + 1e-12)
+        delta_n = jnp.where(active, num / den, jnp.zeros_like(delta))
+        return (
+            Xn, Wn, cn, sig2n, it + 1, delta_n,
+            n_it + active.astype(n_it.dtype),
+        )
 
     X0 = Yc
     c0 = jnp.zeros((B, V), dtype)
-    state0 = (X0, W0, c0, sig0, jnp.array(0), jnp.array(jnp.inf, dtype=dtype))
-    Xf, Wf, cf, sig2f, iters, delta = lax.while_loop(cond, body, state0)
+    state0 = (
+        X0, W0, c0, sig0, jnp.array(0),
+        jnp.full((B,), jnp.inf, dtype=dtype),
+        jnp.zeros((B,), jnp.int32),
+    )
+    Xf, Wf, cf, sig2f, _, delta, n_iters = lax.while_loop(
+        cond, body, state0
+    )
 
     reconf, Wf, cf, sig2f = em_step(Xf, Wf, cf, sig2f)
     recon_full = reconf + mu[:, None, :]
     filled = jnp.where(obs_mask, Y, recon_full)
-    conv = jnp.full((B,), delta <= tol)
     return PPCAResult(
         filled=filled,
         recon=recon_full,
         W=Wf,
         mu=mu + cf,
         sigma2=sig2f,
-        n_iters=jnp.full((B,), iters),
-        converged=conv,
+        n_iters=n_iters,
+        converged=delta <= tol,
     )
 
 
