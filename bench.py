@@ -92,8 +92,48 @@ def _wait_for_backend(max_wait_s: float = 600.0, poll_s: float = 30.0):
             _t.sleep(poll_s)
 
 
+def _trace_summary(log_dir) -> dict:
+    """Aggregate a jax.profiler perfetto trace into a device-time breakdown
+    {event name: total ms}, top events first. The trace lands under
+    <log_dir>/plugins/profile/<run>/*.trace.json.gz (perfetto JSON); device
+    lanes are the track names carrying XLA op events."""
+    import gzip
+    import pathlib
+
+    files = sorted(
+        pathlib.Path(log_dir).glob("plugins/profile/*/*.trace.json.gz")
+    )
+    if not files:
+        return {"error": f"no trace.json.gz produced under {log_dir}"}
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    by_name: dict[str, float] = {}
+    total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        name = ev.get("name", "?")
+        by_name[name] = by_name.get(name, 0.0) + ev["dur"] / 1e3  # us -> ms
+        total += ev["dur"] / 1e3
+    top = dict(sorted(by_name.items(), key=lambda kv: -kv[1])[:15])
+    return {
+        "trace_file": str(files[-1]),
+        "total_event_ms": round(total, 2),
+        "top_events_ms": {k: round(v, 2) for k, v in top.items()},
+    }
+
+
 def main():
+    import argparse
+
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a jax.profiler trace of the timed step "
+                         "and print a device-time breakdown")
+    ap.add_argument("--trace-dir", default=".trace")
+    args = ap.parse_args()
 
     _wait_for_backend()
 
@@ -136,6 +176,19 @@ def main():
     res_a, res_b = jax.block_until_ready(fn(pair))  # compile + warm
     assert bool(np.isfinite(np.asarray(res_a.normal)).all())
     assert bool(np.isfinite(np.asarray(res_b.normal)).all())
+
+    if args.trace:
+        # VERDICT r3: turn the headline rate into an attributed budget —
+        # capture a profiler trace of two production-shaped steps and
+        # print the device-time breakdown (goes into docs/kernels.md)
+        from topotpu.utils.profiling import device_trace
+
+        with device_trace(args.trace_dir):
+            for _ in range(2):
+                res = fn(pair)
+            jax.block_until_ready(res)
+        print("# trace_summary:", json.dumps(_trace_summary(args.trace_dir)),
+              flush=True)
 
     n_iter = 5
     t0 = time.perf_counter()

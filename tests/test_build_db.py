@@ -406,3 +406,65 @@ def test_parsers_never_crash_on_garbage():
         assert set(a) == {"lat", "lon", "elev", "state", "name"}
     parse_ushcn_monthly(text)
     InsertDelimited().parse(text, "JUNK", lat=40.0, lon=-100.0, elev=1.0)
+
+
+def _toy_tar(tmp_path, sids, inv, gz=True):
+    import io
+    import tarfile
+
+    tar_path = tmp_path / ("ghcnd_all.tar.gz" if gz else "ghcnd_all.tar")
+    with tarfile.open(tar_path, "w:gz" if gz else "w") as tf:
+        for i, sid in enumerate(sids):
+            vals = [int(10 * (i + 3)) for _ in range(31)]
+            text = "\n".join(
+                _dly_line(sid, 2015, m, el, vals)
+                for m in (1, 2) for el in ("TMIN", "TMAX")
+            )
+            data = text.encode()
+            ti = tarfile.TarInfo(f"ghcnd_all/{sid}.dly")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    return tar_path
+
+
+def test_iter_ghcnd_tar_truncated_raises_loudly(tmp_path):
+    """An interrupted 3 GB download yields a short tarball; streaming it
+    must raise an actionable error naming the archive and progress — NOT
+    silently ingest the readable prefix as if it were the whole network."""
+    import pytest
+
+    from topotpu.io.build_db import iter_ghcnd_tar
+
+    sids = [f"USC0001234{i}" for i in range(8)]
+    inv = {s: {"lat": 39.0, "lon": -104.0, "elev": 1200.0} for s in sids}
+    tar_path = _toy_tar(tmp_path, sids, inv, gz=True)
+    whole = tar_path.read_bytes()
+    cut = tmp_path / "cut" / "ghcnd_all.tar.gz"
+    cut.parent.mkdir()
+    cut.write_bytes(whole[: int(len(whole) * 0.6)])
+
+    got = []
+    with pytest.raises(RuntimeError, match="truncated or corrupt"):
+        for ps in iter_ghcnd_tar(cut, inv):
+            got.append(ps)
+    assert len(got) < len(sids)  # it really was a partial read
+
+
+def test_iter_ghcnd_tar_reconciles_against_inventory(tmp_path):
+    """A clean pass reconciles parsed stations against the inventory:
+    stations listed in ghcnd-stations.txt but absent from the archive are
+    reported (partial mirror / mismatched vintage)."""
+    from topotpu.io.build_db import iter_ghcnd_tar
+
+    sids = [f"USC0002000{i}" for i in range(5)]
+    inv = {s: {"lat": 40.0, "lon": -105.0, "elev": 1500.0} for s in sids}
+    inv["USW00031313"] = {"lat": 41.0, "lon": -100.0, "elev": 900.0}
+    inv["USW00032323"] = {"lat": 42.0, "lon": -101.0, "elev": 800.0}
+    tar_path = _toy_tar(tmp_path, sids, inv)
+
+    report = {}
+    n = sum(1 for _ in iter_ghcnd_tar(tar_path, inv, report=report))
+    assert n == 5
+    assert report["members"] == 5 and report["stations"] == 5
+    assert report["inventory_size"] == 7
+    assert report["missing_from_archive"] == ["USW00031313", "USW00032323"]

@@ -186,10 +186,18 @@ def test_cli_full_pipeline(tmp_path, capsys):
         sl = d[day]
         sl[sl != FILL_I16] = FILL_I16  # hole every land cell on one day
         d[day] = sl
-    val = step_validate(TopoConfig.load(cfg_path))
+    # deep (full-scan) validate reports the hole as lost coverage
+    val = step_validate(TopoConfig.load(cfg_path), deep=True)
     assert val["tmin"]["status"] == "incomplete"
     assert val["tmin"]["daily_coverage"] < 0.01
     assert val["tmax"]["status"] == "ok"
+    # the default streamed validate's disk sample hits a corrupted tile
+    # (the hole spans every tile) and must REFUSE loudly, not report the
+    # pre-corruption streamed stats as ok
+    import pytest
+
+    with pytest.raises(RuntimeError, match="disagrees with the product"):
+        step_validate(TopoConfig.load(cfg_path))
 
 
 def test_reconcile_cross_variable_packed(tmp_path):

@@ -403,3 +403,109 @@ def test_resume_open_clears_stale_complete_attrs(tmp_path, setup):
     assert eng2.run_pair("tmin", "tmax", a, b, progress=False)["tmin"] == 4
     with h5py.File(d / "mosaic_tmin.h5") as f:
         assert bool(f.attrs["complete"]) and bool(f.attrs["reconciled"])
+
+
+def test_streamed_validate_matches_deep(tmp_path, setup):
+    """The engine records write-verification stats per tile (readback
+    through the HDF5 layer + raw crossvar re-check); validate's default
+    mode aggregates them + samples the disk, and must agree with the full
+    --deep scan on a clean product. Chunked production included (per-chunk
+    stats AND across chunks)."""
+    from topotpu.cli.steps import step_validate
+
+    world, days, rasters, a, b = setup
+    cfg = _config()
+
+    for name, chunked in (("plain", False), ("chunk", True)):
+        d = tmp_path / name
+        eng = _direct_engine(cfg, rasters, days, d)
+        if chunked:
+            eng.run_production_pair("tmin", "tmax", a, b,
+                                    years_per_chunk=1, progress=False)
+        else:
+            eng.run_pair("tmin", "tmax", a, b, progress=False)
+        rasters.save(d / "rasters.h5")
+        vcfg = dataclasses.replace(
+            cfg, data_dir=str(d), validate_sample_frac=0.5
+        )
+        fast = step_validate(vcfg)
+        assert fast["mode"] == "streamed"
+        assert fast["deep_sampled_tiles"] >= 1
+        deep = step_validate(vcfg, deep=True)
+        for var in ("tmin", "tmax"):
+            assert fast[var]["status"] == deep[var]["status"] == "ok"
+            for key in ("normal_coverage", "se_coverage", "daily_coverage"):
+                assert fast[var][key] == deep[var][key] == 1.0, (name, var, key)
+        assert fast["crossvar"]["violations"] == 0
+        assert deep["crossvar"]["violations"] == 0
+
+
+def test_streamed_validate_falls_back_on_per_tile_runs(tmp_path, setup):
+    """Per-tile layouts carry no streamed verify stats — the default
+    validate must transparently run the full scan (no 'mode' marker)."""
+    import dataclasses as dc
+
+    from topotpu.cli.steps import step_mosaic, step_validate
+
+    world, days, rasters, a, b = setup
+    cfg = dc.replace(_config(), mosaic_direct=False)
+    d = tmp_path / "tiles_mode"
+    eng = TileEngine(cfg, rasters, days, d / "tiles")
+    assert not eng._direct
+    eng.run_pair("tmin", "tmax", a, b, progress=False)
+    rasters.save(d / "rasters.h5")
+    vcfg = dc.replace(cfg, data_dir=str(d))
+    step_mosaic(vcfg)
+    val = step_validate(vcfg)
+    assert "mode" not in val
+    assert val["tmin"]["status"] == "ok"
+
+
+def test_streamed_validate_unsampled_corruption_needs_deep(tmp_path, setup):
+    """Corruption in a tile the disk sample does NOT visit passes the fast
+    validate (documented trade-off of the streamed mode) but must be caught
+    by --deep — and corruption in a SAMPLED tile must raise loudly."""
+    import h5py
+    import pytest
+
+    from topotpu.cli.steps import step_validate
+    from topotpu.core.grid import Tiling
+    from topotpu.io.ncdf import FILL_I16
+
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    d = tmp_path / "corrupt2"
+    eng = _direct_engine(cfg, rasters, days, d)
+    eng.run_pair("tmin", "tmax", a, b, progress=False)
+    rasters.save(d / "rasters.h5")
+    vcfg = dataclasses.replace(cfg, data_dir=str(d),
+                               validate_sample_frac=0.3)
+    tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    land_tiles = list(tiling.land_tiles(rasters.landmask))
+    sampled_ids = {
+        ts.tile_id for ts in land_tiles
+        if (ts.tile_id * 2654435761 % 2**32) / 2**32 < 0.3
+    } or {land_tiles[0].tile_id}
+    unsampled = [ts for ts in land_tiles if ts.tile_id not in sampled_ids]
+    assert unsampled, "fixture needs at least one unsampled tile"
+    ts = unsampled[0]
+
+    def punch(tile):
+        with h5py.File(d / "mosaic_tmin.h5", "r+") as f:
+            dset = f["tmin"]
+            sl = (slice(None), slice(tile.row0, tile.row0 + tile.nrows),
+                  slice(tile.col0, tile.col0 + tile.ncols))
+            blk = dset[sl]
+            blk[:] = FILL_I16
+            dset[sl] = blk
+
+    punch(ts)
+    fast = step_validate(vcfg)          # sample missed it: stale-ok
+    assert fast["mode"] == "streamed"
+    deep = step_validate(vcfg, deep=True)
+    assert deep["tmin"]["daily_coverage"] < fast["tmin"]["daily_coverage"]
+
+    # now corrupt a sampled tile: the fast path must refuse loudly
+    punch(next(t for t in land_tiles if t.tile_id in sampled_ids))
+    with pytest.raises(RuntimeError, match="disagrees with the product"):
+        step_validate(vcfg)

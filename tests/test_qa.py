@@ -150,3 +150,25 @@ def test_duplicate_hash_matmul_exactness():
     got = _duplicate_pairs(A, min_common=100)
     assert (0, 1, 4) in got
     assert all(not (s == 1 and i == 2 and j == 5) for s, i, j in got)
+
+
+def test_coordinate_sanity_probes(network):
+    """Offline geonames replacement: planted coordinate corruptions
+    (lon/lat transposed, longitude sign dropped) must be flagged AND
+    attributed, with the repair recovered; clean stations stay unflagged."""
+    from topotpu.qa.qa_location import check_coordinates
+
+    world, _, _, _ = network
+    rasters = RasterStack.from_world(world)
+    lon = world.stn_lon.copy().astype(float)
+    lat = world.stn_lat.copy().astype(float)
+    lon[4], lat[4] = lat[4], lon[4]      # transposed entry
+    lon[9] = -lon[9]                     # western lon entered positive
+    out = check_coordinates(rasters, lon, lat, world.stn_elev)
+    assert out["suspect"][4] and out["suspect"][9]
+    assert out["suspect"].sum() == 2
+    assert out["probe"][4] == "lonlat_swapped"
+    assert out["probe"][9] == "lon_sign"
+    assert abs(out["fix_lon"][4] - world.stn_lon[4]) < 1e-9
+    assert abs(out["fix_lat"][4] - world.stn_lat[4]) < 1e-9
+    assert abs(out["fix_lon"][9] - world.stn_lon[9]) < 1e-9

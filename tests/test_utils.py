@@ -42,3 +42,35 @@ def test_ushcn_compare_adjustments():
     assert np.isnan(
         compare_adjustments(ours, np.array([1999]), ushcn, sid)
     )
+
+
+def test_device_trace_captures_and_summarizes(tmp_path):
+    """bench.py --trace path: device_trace must produce a perfetto trace
+    that _trace_summary can aggregate into a device-time breakdown (the
+    hook was dead code in round 3 — this keeps it exercised)."""
+    import jax
+    import jax.numpy as jnp
+
+    from topotpu.utils.profiling import device_trace
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((256, 256), jnp.float32)
+    jax.block_until_ready(f(x))  # compile outside the trace
+    with device_trace(tmp_path):
+        jax.block_until_ready(f(x))
+
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    summary = bench._trace_summary(tmp_path)
+    assert "error" not in summary, summary
+    assert summary["total_event_ms"] > 0
+    assert summary["top_events_ms"]

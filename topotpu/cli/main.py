@@ -114,6 +114,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None,
                     help="point: output directory for the CSVs "
                          "(default: data_dir)")
+    ap.add_argument("--deep", action="store_true",
+                    help="validate: force the full product re-scan instead "
+                         "of the engine's streamed verify stats + sampled "
+                         "deep re-read")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -166,7 +170,7 @@ def main(argv=None) -> int:
     if stage in ("mosaic", "all"):
         report("mosaic", steps.step_mosaic(cfg))
     if stage in ("validate", "all"):
-        report("validate", steps.step_validate(cfg))
+        report("validate", steps.step_validate(cfg, deep=args.deep))
     if stage == "validate-f64":
         report("validate-f64", steps.step_validate_f64(cfg))
     if stage == "aggregate":

@@ -103,7 +103,7 @@ def step_download(cfg: TopoConfig, opener=None) -> None:
     dl.fetch(dl.GHCND_ALL_TAR, raw / "ghcnd_all.tar.gz", opener)
 
 
-def step_build_db(cfg: TopoConfig) -> None:
+def step_build_db(cfg: TopoConfig) -> dict:
     """Parse raw GHCN-D (+delimited SNOTEL/RAWS) files -> all_obs.h5.
     GHCN input is accepted both as loose ``raw/*.dly`` files and as the
     archive NCEI actually distributes (``raw/ghcnd_all.tar[.gz]``,
@@ -118,12 +118,15 @@ def step_build_db(cfg: TopoConfig) -> None:
     inv = parse_ghcnd_stations(inv_file.read_text()) if inv_file.exists() else {}
     ghcn = InsertGhcn(inv)
 
+    reports: dict[str, dict] = {}
+
     def _stream():
         # one generator end-to-end: build_station_db screens and densifies
         # each station as it arrives, so the 120k-member archive never
         # materializes as a list of observation dicts
         for f in sorted(raw.glob("ghcnd_all.tar*")):
-            yield from iter_ghcnd_tar(f, inv)
+            reports[f.name] = {}
+            yield from iter_ghcnd_tar(f, inv, report=reports[f.name])
         for f in sorted(raw.glob("*.dly")):
             yield ghcn.parse_dly(f.read_text())
         for parser, pat in ((InsertSnotel(), "snotel_*.csv"),
@@ -132,30 +135,65 @@ def step_build_db(cfg: TopoConfig) -> None:
                 yield parser.parse(f.read_text(), f.stem)
 
     build_station_db(p["all_obs"], _stream(), days).close()
+    # archive reconciliation (SURVEY §2.1-2.2): parsed counts vs the
+    # inventory — a station listed in ghcnd-stations.txt but absent from
+    # the archive is actionable (partial mirror, wrong archive vintage)
+    out: dict = {}
+    for name, r in reports.items():
+        miss = r.pop("missing_from_archive", [])
+        out[name] = {**r, "n_missing_from_archive": len(miss)}
+        if miss:
+            out[name]["missing_sample"] = miss[:20]
+            print(
+                f"[build-db] WARNING: {name}: {len(miss)} inventory "
+                f"stations never appeared in the archive (first: "
+                f"{', '.join(miss[:5])}) — partial mirror or mismatched "
+                "inventory vintage",
+                flush=True,
+            )
+    return out
 
 
 # -------------------------------------------------------------- stage: qa
 
 
 def step_qa(cfg: TopoConfig, spatial: bool = True) -> dict:
-    from topotpu.qa import run_qa_non_spatial, run_qa_spatial
+    from topotpu.qa import check_coordinates, run_qa_non_spatial, run_qa_spatial
 
     p = _paths(cfg)
     days = _days(cfg)
+    out: dict = {}
     with StationDB(p["all_obs"], "a") as db:
         tmin = db.obs(C.TMIN)
         tmax = db.obs(C.TMAX)
         ft, fx = run_qa_non_spatial(tmin, tmax, days)
+        lon, lat = db.stn(C.LON), db.stn(C.LAT)
         if spatial:
-            lon, lat = db.stn(C.LON), db.stn(C.LAT)
             ft = run_qa_spatial(tmin, ft, lon, lat, days)
             fx = run_qa_spatial(tmax, fx, lon, lat, days)
         db.set_qflags(C.TMIN, ft)
         db.set_qflags(C.TMAX, fx)
-    return {
-        "flag_rate_tmin": float((ft != C.QA_OK).mean()),
-        "flag_rate_tmax": float((fx != C.QA_OK).mean()),
-    }
+        # location QA: DEM-witnessed coordinate sanity (SURVEY §2.6's
+        # geonames role, offline) — reported only; repairs are an operator
+        # decision, exactly as the reference's location QA was
+        if p["rasters"].exists():
+            loc = check_coordinates(
+                RasterStack.load(p["rasters"]), lon, lat, db.stn(C.ELEV)
+            )
+            out["coord_suspects"] = int(loc["suspect"].sum())
+            out["coord_fixes"] = {
+                str(db.stn(C.STN_ID)[i]): {
+                    "probe": str(loc["probe"][i]),
+                    "lon": float(loc["fix_lon"][i]),
+                    "lat": float(loc["fix_lat"][i]),
+                }
+                for i in np.flatnonzero(loc["probe"] != None)  # noqa: E711
+            }
+    out.update(
+        flag_rate_tmin=float((ft != C.QA_OK).mean()),
+        flag_rate_tmax=float((fx != C.QA_OK).mean()),
+    )
+    return out
 
 
 # ----------------------------------------------------------- stage: homog
@@ -615,14 +653,197 @@ def step_aggregate(cfg: TopoConfig) -> dict:
 # -------------------------------------------------------- stage: validate
 
 
-def step_validate(cfg: TopoConfig) -> dict:
+def _validate_streamed(cfg: TopoConfig, p, rasters) -> dict | None:
+    """Fast validate from the engine's streamed write-verification stats
+    (VERDICT r3: the full post-hoc scan was the single largest stage at
+    north-star scale — 813.7 s vs interp's 680 s). The writer thread
+    already read every tile back through the HDF5 layer and recorded
+    covered/normal/se cell counts and the raw cross-variable re-check in
+    the manifest; this aggregates those and spot-checks a deterministic
+    sample of tiles against the product ON DISK (full day-axis re-read).
+    Returns None when the streamed stats don't cover the whole product
+    (per-tile layout, pre-verify manifests, missing pair check) — the
+    caller then runs the full scan. A disagreement between streamed stats
+    and the disk sample raises: that is precisely the corruption validate
+    exists to catch.
+
+    Coverage subtlety (chunked runs): per-chunk covered counts AND to the
+    true full-span count only when coverage is all-or-nothing per cell;
+    min-over-chunks is an upper bound otherwise. The 0.99 pass bar plus
+    the disk sample (which computes the true full-span count) keeps the
+    bound honest; --deep gives the exact scan."""
+    import json as _json
+
+    import h5py
+
+    from topotpu.core.grid import Tiling
+    from topotpu.io.ncdf import FILL_I16
+
+    # both masters must be finalized direct-mode mosaics
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"mosaic_{var}"]
+        if not path.exists():
+            return None
+        try:
+            with h5py.File(path, "r") as f:
+                if f.attrs.get("layout") != "direct" or not f.attrs.get(
+                    "complete", False
+                ):
+                    return None
+        except OSError:
+            return None
+
+    # union all manifests, per scope (unchunked / each chunk)
+    def _scope(d):
+        merged = {}
+        for m in sorted(d.glob("manifest*.json")):
+            if m.suffix != ".json":
+                continue
+            try:
+                merged.update(_json.loads(m.read_text()).get("tiles", {}))
+            except (OSError, ValueError):
+                return None
+        return merged
+
+    chunk_dirs = sorted(p["tiles"].glob("chunk_*_*"))
+    scopes = (
+        [_scope(d) for d in chunk_dirs] if chunk_dirs
+        else [_scope(p["tiles"])]
+    )
+    if any(s is None or not s for s in scopes):
+        return None
+
+    tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    land_tiles = list(tiling.land_tiles(rasters.landmask))
+    tot = {v: dict.fromkeys(("cells", "cov", "norm", "se"), 0)
+           for v in (C.TMIN, C.TMAX)}
+    viol = pairs = 0
+    per_tile: dict = {}
+    for ts in land_tiles:
+        for var in (C.TMIN, C.TMAX):
+            key = f"{var}_{ts.tile_id:05d}"
+            entries = []
+            for s in scopes:
+                e = s.get(key)
+                if (
+                    e is None
+                    or not str(e.get("file", "")).startswith("mosaic_")
+                    or "verify" not in e
+                    or "viol" not in e["verify"]
+                ):
+                    return None
+                entries.append(e)
+            cells = int(entries[0]["cells"])
+            cov = min(int(e["verify"]["covered"]) for e in entries)
+            norms = [e["verify"] for e in entries if "normal" in e["verify"]]
+            if not norms:
+                return None
+            t = tot[var]
+            t["cells"] += cells
+            t["cov"] += cov
+            t["norm"] += int(norms[0]["normal"])
+            t["se"] += int(norms[0]["se"])
+            per_tile[key] = {
+                "cells": cells, "cov": cov,
+                "norm": int(norms[0]["normal"]), "se": int(norms[0]["se"]),
+                "viol": sum(int(e["verify"]["viol"]) for e in entries),
+            }
+            if var == C.TMIN:  # pair stats recorded identically on both
+                viol += per_tile[key]["viol"]
+                pairs += sum(
+                    int(e["verify"].get("pairs", 0)) for e in entries
+                )
+
+    # deterministic disk sample: full day-axis re-read of ~sample_frac of
+    # the land tiles, compared against the streamed stats
+    frac = cfg.validate_sample_frac
+    sampled = [
+        ts for ts in land_tiles
+        if (ts.tile_id * 2654435761 % 2**32) / 2**32 < frac
+    ] or land_tiles[:1]
+    deep_checked = 0
+    with h5py.File(p[f"mosaic_{C.TMIN}"], "r") as fn, h5py.File(
+        p[f"mosaic_{C.TMAX}"], "r"
+    ) as fx:
+        files = {C.TMIN: fn, C.TMAX: fx}
+        for ts in sampled:
+            sl = (slice(ts.row0, ts.row0 + ts.nrows),
+                  slice(ts.col0, ts.col0 + ts.ncols))
+            land_t = rasters.landmask[sl]
+            raws = {}
+            for var, f in files.items():
+                key = f"{var}_{ts.tile_id:05d}"
+                rec = per_tile[key]
+                raw = f[var][(slice(None),) + sl]
+                raws[var] = raw
+                cov_true = int(((raw != FILL_I16).all(0) & land_t).sum())
+                claimed_full = rec["cov"] == rec["cells"]
+                if (claimed_full and cov_true != rec["cells"]) or (
+                    cov_true > rec["cov"]
+                ):
+                    raise RuntimeError(
+                        f"validate: streamed coverage for {key} "
+                        f"({rec['cov']}/{rec['cells']}) disagrees with the "
+                        f"product on disk ({cov_true}) — mosaic corrupt or "
+                        "stale; run validate --deep"
+                    )
+                nb = f["normal"][(slice(None),) + sl]
+                if int((np.isfinite(nb).all(0) & land_t).sum()) != rec["norm"]:
+                    raise RuntimeError(
+                        f"validate: streamed normal coverage for {key} "
+                        "disagrees with the product on disk"
+                    )
+            a, b = raws[C.TMIN], raws[C.TMAX]
+            both = (a != FILL_I16) & (b != FILL_I16)
+            viol_true = int(
+                (both & (b.astype(np.int32) < a.astype(np.int32) - 1)).sum()
+            )
+            rec = per_tile[f"{C.TMIN}_{ts.tile_id:05d}"]
+            if viol_true != rec["viol"]:
+                raise RuntimeError(
+                    f"validate: streamed crossvar count for tile "
+                    f"{ts.tile_id} ({rec['viol']}) disagrees with disk "
+                    f"({viol_true})"
+                )
+            deep_checked += 1
+
+    out: dict = {"mode": "streamed",
+                 "deep_sampled_tiles": deep_checked,
+                 "deep_frac": round(len(sampled) / max(len(land_tiles), 1), 3)}
+    for var in (C.TMIN, C.TMAX):
+        t = tot[var]
+        cells = max(t["cells"], 1)
+        cov_n, cov_se, cov_d = (
+            t["norm"] / cells, t["se"] / cells, t["cov"] / cells
+        )
+        ok = cov_n > 0.99 and cov_se > 0.99 and cov_d > 0.99
+        out[var] = {
+            "status": "ok" if ok else "incomplete",
+            "normal_coverage": round(cov_n, 4),
+            "se_coverage": round(cov_se, 4),
+            "daily_coverage": round(cov_d, 4),
+        }
+    out["crossvar"] = {
+        "violations": viol, "rate": (viol / pairs) if pairs else 0.0,
+    }
+    return out
+
+
+def step_validate(cfg: TopoConfig, deep: bool = False) -> dict:
     """Output integrity check (the rebuild's failure-detection pass,
     SURVEY §5): every land cell in each mosaic must carry finite normals,
-    finite SE, and a full daily series; reports per-variable coverage."""
+    finite SE, and a full daily series; reports per-variable coverage.
+    Default: engine-streamed verify stats + a sampled disk re-scan when
+    available (see _validate_streamed); ``deep=True`` or any gap in the
+    streamed stats -> full product re-scan."""
     import h5py
 
     p = _paths(cfg)
     rasters = RasterStack.load(p["rasters"])
+    if not deep:
+        res = _validate_streamed(cfg, p, rasters)
+        if res is not None:
+            return res
     land = rasters.landmask
     from topotpu.io.ncdf import FILL_I16, decode_array
 

@@ -85,10 +85,13 @@ class TopoConfig:
     # Direct-to-mosaic production: the engine's writer thread places each
     # finished tile straight into the final mosaic file on a RUN-GLOBAL
     # int16 grid (the pack_* bounds below), skipping per-tile files and the
-    # whole mosaic copy/requantization pass. Applies to single-process
-    # packed runs; multi-host runs keep per-tile files (one HDF5 writer per
-    # file) and assemble at the mosaic stage as before.
+    # whole mosaic copy/requantization pass. Multi-host runs write one
+    # full-grid shard per process (single HDF5 writer per file preserved);
+    # the mosaic stage publishes a virtual-dataset master over the shards.
     mosaic_direct: bool = True
+    # validate: fraction of land tiles the fast (streamed-stats) validate
+    # re-reads from disk as an independent spot check; --deep scans all.
+    validate_sample_frac: float = 0.1
     # Run-global int16 pack window for daily values and normals, in C.
     # Physical-extreme margins (world records are approx -89/+57 C): the
     # 160 C span quantizes at 160/65500 ~= 2.4e-3 C — half-step error

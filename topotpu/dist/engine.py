@@ -559,20 +559,40 @@ class TileEngine:
         w = self._mosaic[var]  # opened by run/run_pair on the main thread
         w.write_tile(spec.row0, spec.col0, daily, normal, se,
                      t0=self.mosaic_t0)
-        self._pace_writeback(w.path)
         land = self.rasters.landmask[
             spec.row0 : spec.row0 + nr, spec.col0 : spec.col0 + nc
         ]
+        # Streamed verification (VERDICT r3: validate was the single
+        # largest stage at north-star scale, a full post-hoc re-read of the
+        # 29 GB product): read the region straight back through the HDF5
+        # dataset while its pages are still cached (the fdatasync +
+        # FADV_DONTNEED pacing below drops them), count covered land cells
+        # and record them in the manifest. step_validate consumes these
+        # stats plus a sampled deep re-scan instead of re-reading
+        # everything; --deep restores the full scan. This verifies the
+        # full write->HDF5->read round trip (layout/offset/day-axis bugs —
+        # validate's real target), not physical disk integrity.
+        raw_back = w.read_tile_raw(spec.row0, spec.col0, nr, nc,
+                                   t0=self.mosaic_t0, nt=daily.shape[0])
+        covered = int(((raw_back != FILL_I16).all(0) & land).sum())
+        verify = {"covered": covered}
+        if normal is not None:
+            nb, sb = w.read_monthly_back(spec.row0, spec.col0, nr, nc)
+            verify["normal"] = int((np.isfinite(nb).all(0) & land).sum())
+            verify["se"] = int((np.isfinite(sb).all(0) & land).sum())
+        self._pace_writeback(w.path)
         self._record_tile(
             self._tile_key(spec, var),
             {
                 "file": w.path.name,
                 "cells": int(land.sum()),
                 "ok_cells": int(okm.all(0).sum()),
+                "verify": verify,
                 "ts": time.time(),
             },
             save=save_manifest,
         )
+        return raw_back
 
     def _write_tile_flat(
         self, spec: TileSpec, var: str, result, save_manifest: bool = True
@@ -879,13 +899,37 @@ class TileEngine:
         n_rows = self.days.ndays + 24
         buf = np.asarray(result.buf)    # one RPC for both variables
         sc = np.asarray(result.scales)
-        self._write_tile_flat(
+        from topotpu.core import constants as _C
+
+        will_verify = self._direct and (var_a, var_b) == (_C.TMIN, _C.TMAX)
+        raw_a = self._write_tile_flat(
             spec, var_a, FlatTileResult(buf=buf[:n_rows], scales=sc[:6]),
             save_manifest=False,  # one manifest serialization per pair
         )
-        self._write_tile_flat(
-            spec, var_b, FlatTileResult(buf=buf[n_rows:], scales=sc[6:])
+        raw_b = self._write_tile_flat(
+            spec, var_b, FlatTileResult(buf=buf[n_rows:], scales=sc[6:]),
+            save_manifest=not will_verify,
         )
+        if will_verify and raw_a is not None and raw_b is not None:
+            # streamed cross-variable re-check on the READBACK (shared
+            # run-global lattice: raw compare, see step_validate's direct
+            # branch for the b >= a - 1 identity, valid only in (tmin,
+            # tmax) call order); recorded per pair so validate's fast path
+            # needs no second pass over the product
+            from topotpu.io.ncdf import FILL_I16
+
+            both = (raw_a != FILL_I16) & (raw_b != FILL_I16)
+            viol = int((both & (
+                raw_b.astype(np.int32) < raw_a.astype(np.int32) - 1
+            )).sum())
+            pairs = int(both.sum())
+            for v in (var_a, var_b):
+                info = self.manifest["tiles"].get(self._tile_key(spec, v))
+                if info is not None:
+                    info.setdefault("verify", {}).update(
+                        viol=viol, pairs=pairs
+                    )
+            self._save_manifest()
 
     def run_pair(
         self,

@@ -170,6 +170,7 @@ class InsertGhcn:
 def iter_ghcnd_tar(
     path: str | pathlib.Path,
     inventory: dict[str, dict] | None = None,
+    report: dict | None = None,
 ):
     """Stream ParsedStations out of a ``ghcnd_all.tar[.gz]`` archive — the
     exact distribution format NCEI ships (SURVEY §2.1: one ~3 GB tarball of
@@ -177,18 +178,47 @@ def iter_ghcnd_tar(
     mode (``r|*``): a gzip member cannot seek, and materializing the
     archive's file list would hold 120k TarInfos; this reads each member
     once, in order, at constant memory. Non-``.dly`` members are skipped.
+
+    A corrupt/short tarball (interrupted download — the realistic failure
+    for a 3 GB FTP fetch) raises RuntimeError naming the archive and the
+    member count reached: silently ingesting the readable prefix would
+    build a plausible-looking DB missing half the network. Pass ``report``
+    (a dict, filled in place) to reconcile against the inventory after a
+    clean pass: members read, stations parsed, and which inventory station
+    ids never appeared in the archive.
     """
     import tarfile
 
     ghcn = InsertGhcn(inventory)
-    with tarfile.open(path, "r|*") as tf:
-        for member in tf:
-            if not member.isfile() or not member.name.endswith(".dly"):
-                continue
-            f = tf.extractfile(member)
-            if f is None:
-                continue
-            yield ghcn.parse_dly(f.read().decode("ascii", "replace"))
+    n_members = 0
+    seen: set[str] = set()
+    try:
+        with tarfile.open(path, "r|*") as tf:
+            for member in tf:
+                if not member.isfile() or not member.name.endswith(".dly"):
+                    continue
+                f = tf.extractfile(member)
+                if f is None:
+                    continue
+                n_members += 1
+                ps = ghcn.parse_dly(f.read().decode("ascii", "replace"))
+                seen.add(ps.stn_id)
+                yield ps
+    except (tarfile.TarError, EOFError, OSError) as e:
+        raise RuntimeError(
+            f"GHCN archive {path} is truncated or corrupt after "
+            f"{n_members} .dly members ({e}) — re-download the archive; "
+            "ingesting the readable prefix would silently drop the rest "
+            "of the network"
+        ) from e
+    if report is not None:
+        missing = sorted(set(inventory or ()) - seen)
+        report.update(
+            members=n_members,
+            stations=len(seen),
+            inventory_size=len(inventory or ()),
+            missing_from_archive=missing,
+        )
 
 
 class InsertDelimited:

@@ -317,6 +317,21 @@ class MosaicWriter:
         # (fdatasync on a separate fd) sees this tile's pages
         f.flush()
 
+    def read_tile_raw(self, row0: int, col0: int, nr: int, nc: int,
+                      t0: int = 0, nt: int | None = None) -> np.ndarray:
+        """Read a tile's raw daily block back through the dataset (the
+        engine's streamed write-verification; pages are still cached when
+        it runs, so this is memory-speed)."""
+        d = self._f[self.var]
+        if nt is None:
+            nt = d.shape[0] - t0
+        return d[t0 : t0 + nt, row0 : row0 + nr, col0 : col0 + nc]
+
+    def read_monthly_back(self, row0: int, col0: int, nr: int, nc: int):
+        """(normal, se) region readback for streamed verification."""
+        sl = (slice(None), slice(row0, row0 + nr), slice(col0, col0 + nc))
+        return self._f["normal"][sl], self._f["se"][sl]
+
     def finalize(self, n_tiles: int, reconciled: bool,
                  process_index: int = 0, process_count: int = 1) -> None:
         """``process_count > 1`` marks this file as one host's SHARD of a
