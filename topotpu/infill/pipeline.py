@@ -103,9 +103,10 @@ def select_predictors(
     else:
         lon = np.asarray(stn_lon, np.float32)
         lat = np.asarray(stn_lat, np.float32)
+    # mask ships as bool (1 B/entry) and widens on device — at production
+    # scale the f32 mask upload alone was ~400 MB over the ~44 MB/s tunnel
     idx = _device_select_predictors(
-        xs, mask.astype(np.float32), lon, lat, bool(stn_lon is not None),
-        int(n_neighbors),
+        xs, mask, lon, lat, bool(stn_lon is not None), int(n_neighbors)
     )
     return np.asarray(idx, np.int32)
 
@@ -113,6 +114,8 @@ def select_predictors(
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _device_select_predictors(xs, m, lon, lat, use_dist, n_neighbors):
     import jax.numpy as jnp
+
+    m = m.astype(xs.dtype)
 
     # grams at full f32 fidelity: the MXU default (bf16 inputs) perturbs
     # near-tied correlations enough to flip top-k ranks, which would make
@@ -147,6 +150,26 @@ def _device_select_predictors(xs, m, lon, lat, use_dist, n_neighbors):
     return idx.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _infill_batch(obs_all, mask_all, cols, month_idx, n_comp, max_iters, tol):
+    """Gather [target | predictors] series on device, impute, adjust.
+
+    obs_all/mask_all are the full (S, T) station tensors, resident on the
+    device across all batches; ``cols`` is the (B, V) station-index matrix
+    for this batch (column 0 = target). Row gathers of T-length series are
+    the wide-row case XLA's TPU gather handles at full bandwidth (the
+    narrow-row pathology documented in RESULTS.md does not apply)."""
+    Y = obs_all[cols].transpose(0, 2, 1)   # (B, T, V)
+    M = mask_all[cols].transpose(0, 2, 1)
+    res = ppca_impute(
+        Y, M, n_components=n_comp, max_iters=max_iters, tol=tol
+    )
+    tgt_filled = variance_adjust(
+        res.filled[..., 0], mask_all[cols[:, 0]], month_idx
+    )
+    return tgt_filled, res.n_iters
+
+
 def infill_network(
     obs: np.ndarray,
     month_idx: np.ndarray,
@@ -176,29 +199,47 @@ def infill_network(
     filled = np.array(obs0, copy=True)
     n_iters = np.zeros(S, np.int32)
 
-    fn = jax.jit(
-        lambda Y, M: ppca_impute(
-            Y, M, n_components=min(params.n_components, V - 1),
-            max_iters=params.max_iters, tol=params.tol,
-        )
-    )
-    # variance_adjust must be jitted too: eager op-by-op dispatch over the
-    # tunneled TPU pays an RPC per primitive (12 months x ~15 ops x batches)
-    va = jax.jit(lambda f, m: variance_adjust(f, m, jnp.asarray(month_idx)))
+    # The (S, T) station tensors are uploaded ONCE and stay device-resident;
+    # each batch ships only its (B, V) index matrix and the predictor gather
+    # happens inside the jit. Host-side gather re-uploaded every predictor
+    # series ~V times per variable — measured ~12.6 GB over the ~44 MB/s
+    # tunnel at 4000 stn x 69 yr (~290 s/var of pure upload) vs ~0.5 GB
+    # resident. Values are bitwise identical (f32 gather is exact).
+    obs_dev = jax.device_put(obs0)
+    mask_dev = jax.device_put(mask)
+    midx_dev = jax.device_put(np.asarray(month_idx))
+    n_comp = min(params.n_components, V - 1)
 
     pad_to = ((S + batch_size - 1) // batch_size) * batch_size
-    order = np.arange(pad_to) % S  # wrap padding targets
+    # Each batch's EM while_loop runs until its SLOWEST element converges
+    # (per-target freeze makes stragglers cheap but not free), so group
+    # similar-difficulty targets together: order by missing-obs count.
+    # Per-target results are batch-composition-independent (every op in
+    # ppca_impute is elementwise over B), so this is pure scheduling.
+    by_difficulty = np.argsort(mask.sum(axis=1), kind="stable").astype(np.int64)
+    order = by_difficulty[np.arange(pad_to) % S]  # wrap padding targets
+
+    pending: list[tuple[np.ndarray, tuple]] = []
+
+    def _drain() -> None:
+        tgt0, (tf, ni) = pending.pop(0)
+        filled[tgt0] = np.asarray(tf)  # wrapped padding recomputes identically
+        n_iters[tgt0] = np.asarray(ni)
 
     for start in range(0, pad_to, batch_size):
         tgt = order[start : start + batch_size]
         cols = np.concatenate([tgt[:, None], preds[tgt]], axis=1)  # (B, V)
-        Y = obs0[cols].transpose(0, 2, 1)          # (B, T, V)
-        M = mask[cols].transpose(0, 2, 1)
-        res = fn(jnp.asarray(Y), jnp.asarray(M))
-        target_filled = va(res.filled[..., 0], jnp.asarray(mask[tgt]))
-        tf = np.asarray(target_filled)
-        filled[tgt] = tf  # wrapped padding targets recompute identically
-        n_iters[tgt] = np.asarray(res.n_iters)
+        out = _infill_batch(
+            obs_dev, mask_dev, jnp.asarray(cols), midx_dev,
+            n_comp, params.max_iters, params.tol,
+        )
+        pending.append((tgt, out))
+        # keep one batch in flight: the device computes batch i+1 while the
+        # host pulls batch i's (B, T) result back over the link
+        if len(pending) > 1:
+            _drain()
+    while pending:
+        _drain()
 
     norms = monthly_normals(filled, month_idx)
     return InfillResult(
