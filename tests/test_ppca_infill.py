@@ -102,6 +102,27 @@ def test_ppca_exact_on_lowrank_noiseless(rng):
     assert float(np.asarray(res.sigma2).max()) < 0.01
 
 
+def test_infill_network_batch_composition_invariant(rng):
+    """The infill scheduler orders targets by difficulty and wraps padding,
+    so batch composition varies with batch_size — but per-target results
+    must not: every op in ppca_impute is elementwise over the batch and the
+    per-target freeze stops converged elements, so a target's fixed point
+    and iteration count are independent of its batchmates. Pin it bitwise
+    (scheduling must be pure scheduling)."""
+    world, days, truth = _network(rng, n_stations=20)
+    S, T = truth.shape
+    miss = rng.uniform(size=(S, T)) < 0.2
+    obs = np.where(miss, np.nan, truth)
+    params = PPCAParams(n_components=4, n_neighbors=8, max_iters=40)
+
+    one_batch = infill_network(obs, days.month_idx, params, batch_size=S)
+    odd_batches = infill_network(obs, days.month_idx, params, batch_size=7)
+
+    np.testing.assert_array_equal(one_batch.filled, odd_batches.filled)
+    np.testing.assert_array_equal(one_batch.n_iters, odd_batches.n_iters)
+    np.testing.assert_array_equal(one_batch.norms, odd_batches.norms)
+
+
 def test_ppca_per_target_convergence():
     """Convergence is decided per batch element (the reference decided EM
     convergence per station): a planted hard target must neither inflate
