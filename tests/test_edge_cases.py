@@ -112,3 +112,12 @@ def test_interp_points_facade(rng):
     )  # (16, 31)
     assert daily.shape == (16, 31)
     assert np.abs(daily.mean(axis=1) - normal[0]).mean() < 1.0
+
+
+def test_make_world_rejects_station_overflow(rng):
+    # more stations than land cells must raise an actionable message, not
+    # numpy's generic sample-size ValueError (hit live at 10k stn / 96 grid)
+    import pytest
+
+    with pytest.raises(ValueError, match="land cells"):
+        make_world(rng, nrows=8, ncols=8, n_stations=100, ndays=31)

@@ -167,6 +167,12 @@ def make_world(
 
     # --- stations at random land cells ---
     land_idx = np.flatnonzero(landmask.ravel())
+    if n_stations > land_idx.size:
+        raise ValueError(
+            f"n_stations={n_stations} exceeds the {land_idx.size} land cells "
+            f"of a {nrows}x{ncols} grid at ocean_frac={ocean_frac}; "
+            f"raise --grid (or lower --stations)"
+        )
     pick = rng.choice(land_idx, size=n_stations, replace=False)
     rr, cc = np.unravel_index(pick, (nrows, ncols))
     stn_lon, stn_lat = grid.cell_lonlat(rr, cc)
