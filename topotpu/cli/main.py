@@ -118,6 +118,20 @@ def main(argv=None) -> int:
                     help="validate: force the full product re-scan instead "
                          "of the engine's streamed verify stats + sampled "
                          "deep re-read")
+    ap.add_argument("--nnghs", default=None,
+                    help="interp: optim-nnghs artifact (nnghs.h5) to apply "
+                         "per-tile optimized neighborhood sizes; default: "
+                         "data_dir/nnghs.h5 when present")
+    ap.add_argument("--no-nnghs", action="store_true",
+                    help="interp: ignore any nnghs.h5 artifact and use the "
+                         "config k_neighbors everywhere")
+    ap.add_argument("--optim-nnghs", action="store_true",
+                    help="all: run the optim-nnghs stage between "
+                         "krig-params and interp so production consumes "
+                         "the optimized per-region k (SURVEY §2.16)")
+    ap.add_argument("--k-candidates", default=None,
+                    help="optim-nnghs: comma-separated neighborhood sizes "
+                         "to sweep (default 8,16,24,32,48)")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -160,13 +174,22 @@ def main(argv=None) -> int:
         report("infill", steps.step_infill(cfg))
     if stage in ("krig-params", "all"):
         report("krig-params", steps.step_krig_params(cfg))
+    _cands = (
+        tuple(int(x) for x in args.k_candidates.split(","))
+        if args.k_candidates else (8, 16, 24, 32, 48)
+    )
+    if stage == "all" and args.optim_nnghs:
+        report("optim-nnghs",
+               steps.step_optim_nnghs(cfg, candidates=_cands,
+                                      regions_path=args.regions))
     if stage in ("interp", "all"):
         from topotpu.dist.multihost import init_multihost
 
         ctx = init_multihost(args.coordinator, args.num_processes,
                              args.process_id)
         report("interp", steps.step_interp(cfg, chunk_years=args.chunk_years,
-                                           ctx=ctx))
+                                           ctx=ctx, nnghs_path=args.nnghs,
+                                           use_nnghs=not args.no_nnghs))
     if stage in ("mosaic", "all"):
         report("mosaic", steps.step_mosaic(cfg))
     if stage in ("validate", "all"):
@@ -181,7 +204,8 @@ def main(argv=None) -> int:
                                        seed=args.seed))
     if stage == "optim-nnghs":
         report("optim-nnghs",
-               steps.step_optim_nnghs(cfg, regions_path=args.regions))
+               steps.step_optim_nnghs(cfg, candidates=_cands,
+                                      regions_path=args.regions))
     if stage == "point":
         if not args.points:
             ap.error("point requires --points 'lon,lat;lon,lat;...'")

@@ -343,33 +343,121 @@ def _station_set(path, days) -> "StationSet":
         )
 
 
-def step_interp(cfg: TopoConfig, chunk_years: int = 0, ctx=None) -> dict:
+def _nnghs_tile_table(nnghs_path, rasters, cfg: TopoConfig) -> dict:
+    """tile_id -> {var: (k_norm, k_anom)} from the optim-nnghs artifact:
+    each land tile runs at its DOMINANT region's optimized sizes (mode over
+    the tile's land cells — the per-tile analogue of the reference applying
+    its per-climate-division nnghs tables, SURVEY §2.16 -> §2.10). Static
+    shapes survive: distinct k combinations are bounded by the number of
+    regions, so the engine compiles a handful of programs and masks
+    trailing slots within each."""
+    import h5py
+
+    from topotpu.core.grid import Tiling
+
+    with h5py.File(nnghs_path) as f:
+        reg = f["regions"][...]
+        ids = f["region_ids"][...]
+        ks = {}
+        for var in (C.TMIN, C.TMAX):
+            if f"k_norm_{var}" in f:
+                ks[var] = (
+                    f[f"k_norm_{var}"][...], f[f"k_anom_{var}"][...]
+                )
+    if reg.shape != rasters.grid.shape:
+        raise ValueError(
+            f"nnghs artifact region grid {reg.shape} != run grid "
+            f"{rasters.grid.shape} — rerun optim-nnghs on this world"
+        )
+    id_pos = {int(r): i for i, r in enumerate(ids)}
+    lo = int(cfg.interp.min_neighbors)
+    hi = int(cfg.interp.max_tile_stations)
+    tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    table: dict = {}
+    for ts in tiling.land_tiles(rasters.landmask):
+        sl = (
+            slice(ts.row0, ts.row0 + ts.nrows),
+            slice(ts.col0, ts.col0 + ts.ncols),
+        )
+        r_tile = reg[sl][rasters.landmask[sl]]
+        if r_tile.size == 0:
+            continue
+        vals, counts = np.unique(r_tile, return_counts=True)
+        i = id_pos.get(int(vals[counts.argmax()]))
+        if i is None:
+            continue
+        ent = {
+            var: (int(np.clip(kn[i], lo, hi)), int(np.clip(ka[i], lo, hi)))
+            for var, (kn, ka) in ks.items()
+        }
+        if ent:
+            table[ts.tile_id] = ent
+    return table
+
+
+def step_interp(cfg: TopoConfig, chunk_years: int = 0, ctx=None,
+                nnghs_path: str | None = None, use_nnghs: bool = True) -> dict:
     """chunk_years > 0 switches to the config-#5 chunked production driver
     (mandatory for multi-decade spans: the device daily buffer scales with
     the chunk length, not the full 1948-2016 span). ``ctx`` is a
     MultihostContext: each process interpolates its strided tile subset
-    against its local device mesh and keeps its own manifest."""
+    against its local device mesh and keeps its own manifest.
+
+    ``nnghs_path``/``use_nnghs``: the optim-nnghs artifact (see
+    step_optim_nnghs). When present (explicit path, or data_dir/nnghs.h5
+    automatically), every tile runs at its dominant region's optimized
+    per-variable neighborhood sizes and the manifest records them;
+    ``use_nnghs=False`` forces the config k."""
     from topotpu.dist.engine import TileEngine
 
     p = _paths(cfg)
     days = _days(cfg)
     rasters = RasterStack.load(p["rasters"])
+    ktab = None
+    nnghs_src = None
+    if use_nnghs:
+        npth = (
+            pathlib.Path(nnghs_path) if nnghs_path else p["root"] / "nnghs.h5"
+        )
+        if npth.exists():
+            ktab = _nnghs_tile_table(npth, rasters, cfg)
+            nnghs_src = str(npth)
+        elif nnghs_path:
+            raise FileNotFoundError(f"--nnghs artifact not found: {npth}")
     # direct-to-mosaic (cfg.mosaic_direct, single-process packed runs): the
     # engine writes finished tiles straight into these final mosaic files
     # and the mosaic stage reduces to a finalization check
     eng = TileEngine(
         cfg, rasters, days, p["tiles"], ctx=ctx,
         mosaic_paths={v: p[f"mosaic_{v}"] for v in (C.TMIN, C.TMAX)},
+        k_table=ktab,
     )
     sets = {v: _station_set(p[f"serial_{v}"], days) for v in (C.TMIN, C.TMAX)}
     # Both variables per tile in ONE device pass when the station sets share
     # geometry/validity (the standard pipeline); run_pair falls back to two
     # sequential passes otherwise. Returns per-variable tile counts.
     if chunk_years:
-        return eng.run_production_pair(
+        res = eng.run_production_pair(
             C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX], chunk_years
         )
-    return eng.run_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX])
+    else:
+        res = eng.run_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX])
+    if ktab is not None:
+        combos = sorted(
+            {tuple(sorted((v, k) for v, k in ent.items()))
+             for ent in ktab.values()}
+        )
+        res = {
+            **res,
+            "nnghs": {
+                "source": nnghs_src,
+                "tiles_with_optimized_k": len(ktab),
+                "distinct_k_combos": [
+                    {v: list(k) for v, k in combo} for combo in combos
+                ],
+            },
+        }
+    return res
 
 
 # ----------------------------------------------------------- stage: point
@@ -1149,6 +1237,43 @@ def step_optim_nnghs(cfg: TopoConfig, candidates=(8, 16, 24, 32, 48),
                 str(k): float(v) for k, v in res_a["mae"].items()
             },
         }
+    # Persist the optimization so production CONSUMES it (the reference's
+    # optim jobs exist to produce nnghs tables "used by 2.10", SURVEY
+    # §2.16 — an optimizer whose output is unreachable is a demo):
+    # nnghs.h5 carries the region grid plus, per variable, the chosen
+    # normals/anomaly k per region id. step_interp picks it up
+    # automatically (data_dir/nnghs.h5 or --nnghs) and runs each tile at
+    # its dominant region's sizes; the interp manifest records the k each
+    # tile actually used.
+    ids = np.unique(reg_grid).astype(np.int32)
+    nn_path = p["root"] / "nnghs.h5"
+    tmp = nn_path.with_suffix(".h5.tmp")
+    with h5py.File(tmp, "w") as f:
+        f.create_dataset("regions", data=reg_grid.astype(np.int32))
+        f.create_dataset("region_ids", data=ids)
+        f.attrs["candidates"] = [int(k) for k in candidates]
+        for var, rep in out.items():
+            if "best_k_by_region" not in rep:
+                continue  # missing serial DB for this variable
+            bn = {int(k): int(v) for k, v in rep["best_k_by_region"].items()}
+            ba = {
+                int(k): int(v)
+                for k, v in rep["best_k_anom_by_region"].items()
+            }
+            dflt_n = int(cfg.interp.k_neighbors)
+            dflt_a = min(int(cfg.interp.k_neighbors_anom), dflt_n)
+            f.create_dataset(
+                f"k_norm_{var}",
+                data=np.array([bn.get(int(r), dflt_n) for r in ids],
+                              np.int32),
+            )
+            f.create_dataset(
+                f"k_anom_{var}",
+                data=np.array([ba.get(int(r), dflt_a) for r in ids],
+                              np.int32),
+            )
+    tmp.replace(nn_path)
+    out["artifact"] = str(nn_path)
     return out
 
 

@@ -23,6 +23,18 @@ class InterpParams:
 
     k_neighbors: int = 32          # kriging/GWR neighborhood size (padded max)
     k_neighbors_anom: int = 32     # GWR daily-anomaly neighborhood size
+    # Per-variable overrides for the multi-variable tile step (the paired
+    # tmin+tmax production path): one entry per variable in step order.
+    # This is how the optim-nnghs artifact reaches production (SURVEY
+    # §2.16: the reference's mpi_optim_nstns_{norms,anoms} tables are
+    # CONSUMED by every gridded run, not just reported): the engine selects
+    # neighbors once at k_neighbors = max over variables, and each
+    # variable's kriging/GWR masks the trailing slots beyond its own k —
+    # top_k output is distance-sorted, so the first k_v slots ARE the
+    # k_v-neighborhood and masked slots are provably inert (tested).
+    # None = every variable uses k_neighbors / k_neighbors_anom.
+    k_per_var: tuple | None = None     # per-variable kriging k
+    ka_per_var: tuple | None = None    # per-variable anomaly (GWR daily) k
     max_tile_stations: int = 512   # per-tile station pool (padded)
     min_neighbors: int = 3         # below this a cell is flagged, not solved
     # Covariate sets are FIXED by design, not configurable: the normals

@@ -85,6 +85,7 @@ class TileEngine:
         margin_km: float = 250.0,
         ctx=None,
         mosaic_paths: dict[str, pathlib.Path] | None = None,
+        k_table: dict | None = None,
     ):
         from topotpu.dist.multihost import MultihostContext
 
@@ -186,8 +187,16 @@ class TileEngine:
         self._fn = self._fns[False]
         self._shard = lambda ti: shard_tile_inputs(mesh, ti)
         self._pair_fns: dict | None = None  # built lazily by run_pair
+        # optim-nnghs consumption (SURVEY §2.16): tile_id -> {var: (k_norm,
+        # k_anom)} from the nnghs.h5 artifact (cli/steps.py builds it from
+        # the tile's dominant region). Tiles absent from the table use the
+        # config k; distinct k combinations each compile one program
+        # (regions are few, so combos are few).
+        self.k_table = k_table
+        self._var_fns: dict = {}  # (shared, params) -> single-var tile fn
 
-    def _get_pair_fn(self, shared: bool, reconcile: bool = False):
+    def _get_pair_fn(self, shared: bool, reconcile: bool = False,
+                     params=None):
         from topotpu.dist.mesh import (
             shard_pair_inputs,
             sharded_interp_tile_pair_flat,
@@ -196,13 +205,47 @@ class TileEngine:
         if self._pair_fns is None:
             self._pair_fns = {}
             self._shard_pair = lambda p: shard_pair_inputs(self.mesh, p)
-        key = (shared, reconcile, self._direct)
+        key = (shared, reconcile, self._direct, params)
         if key not in self._pair_fns:
             self._pair_fns[key] = sharded_interp_tile_pair_flat(
-                self.mesh, self.config.interp, shared,
+                self.mesh, params or self.config.interp, shared,
                 fixed=self._direct, reconcile=reconcile,
             )
         return self._pair_fns[key]
+
+    # -------------------------------------------- optimized-k (optim-nnghs)
+    def _params_for(self, spec: TileSpec, *vars_):
+        """Per-tile InterpParams override from the optim-nnghs table, or
+        None for the config defaults. Neighbor selection runs once at the
+        max size over the variables; each variable's solve masks its own
+        trailing slots (interp/point.py k_per_var)."""
+        if not self.k_table:
+            return None
+        ent = self.k_table.get(spec.tile_id)
+        if not ent:
+            return None
+        base = self.config.interp
+        ks, kas = [], []
+        for v in vars_:
+            kn, ka = ent.get(v, (base.k_neighbors, base.k_neighbors_anom))
+            ks.append(int(kn))
+            kas.append(int(ka))
+        k_sel = max(ks + kas)
+        return dataclasses.replace(
+            base, k_neighbors=k_sel, k_neighbors_anom=max(kas),
+            k_per_var=tuple(ks), ka_per_var=tuple(kas),
+        )
+
+    def _manifest_k(self, spec: TileSpec, var: str):
+        """[k_norm, k_anom] this tile+variable actually ran with, for the
+        manifest (the audit trail that the optimized k reached production),
+        or None when the config default applied."""
+        if not self.k_table:
+            return None
+        ent = self.k_table.get(spec.tile_id)
+        if not ent or var not in ent:
+            return None
+        return [int(ent[var][0]), int(ent[var][1])]
 
     # ------------------------------------------------- direct-mosaic output
     def _fixed_scales(self, n_vars: int = 1) -> np.ndarray:
@@ -366,19 +409,42 @@ class TileEngine:
                     file=sys.stderr, flush=True,
                 )
 
-    def _dispatch(self, task: TileTask):
+    def _dispatch(self, task: TileTask, fn=None):
         """Launch the device step for one tile (async) and start the
-        device->host copy so the transfer overlaps the next tile's compute."""
+        device->host copy so the transfer overlaps the next tile's compute.
+        ``fn`` overrides the engine-default compiled step (per-tile
+        optimized-k programs)."""
+        fn = fn or self._fn
         if self._flat:
             slot = self._dev_slot()
             if self._direct:
-                fut = self._fn(self._shard(task.inputs), slot,
-                               self._dev_scales())
+                fut = fn(self._shard(task.inputs), slot,
+                         self._dev_scales())
             else:
-                fut = self._fn(self._shard(task.inputs), slot)
+                fut = fn(self._shard(task.inputs), slot)
             self._try_prefetch(fut.buf, fut.scales)
             return fut
-        return self._fn(self._shard(task.inputs))
+        return fn(self._shard(task.inputs))
+
+    def _get_var_fn(self, shared: bool, params):
+        """Single-variable tile step compiled for a per-tile InterpParams
+        override (optim-nnghs single-var fallback path)."""
+        from topotpu.dist.mesh import (
+            sharded_interp_tile,
+            sharded_interp_tile_flat,
+        )
+
+        key = (shared, params)
+        if key not in self._var_fns:
+            if self._flat:
+                self._var_fns[key] = sharded_interp_tile_flat(
+                    self.mesh, params, shared, fixed=self._direct
+                )
+            else:
+                self._var_fns[key] = sharded_interp_tile(
+                    self.mesh, params, shared
+                )
+        return self._var_fns[key]
 
     def _dev_slot(self):
         """slot_of_day uploaded ONCE per engine — per-tile re-upload costs
@@ -581,6 +647,7 @@ class TileEngine:
             verify["normal"] = int((np.isfinite(nb).all(0) & land).sum())
             verify["se"] = int((np.isfinite(sb).all(0) & land).sum())
         self._pace_writeback(w.path)
+        kinfo = self._manifest_k(spec, var)
         self._record_tile(
             self._tile_key(spec, var),
             {
@@ -589,6 +656,7 @@ class TileEngine:
                 "ok_cells": int(okm.all(0).sum()),
                 "verify": verify,
                 "ts": time.time(),
+                **({"k": kinfo} if kinfo else {}),
             },
             save=save_manifest,
         )
@@ -635,6 +703,7 @@ class TileEngine:
                 long_name="kriging standard error",
             )
         self._pace_writeback(self._tile_file(spec, var))
+        kinfo = self._manifest_k(spec, var)
         self._record_tile(
             self._tile_key(spec, var),
             {
@@ -642,6 +711,7 @@ class TileEngine:
                 "cells": int(land.sum()),
                 "ok_cells": int(okm.all(0).sum()),
                 "ts": time.time(),
+                **({"k": kinfo} if kinfo else {}),
             },
             save=save_manifest,
         )
@@ -685,6 +755,7 @@ class TileEngine:
             w.write_monthly(f"{var}_normal", normal, long_name="monthly normal")
             w.write_monthly(f"{var}_se", se, long_name="kriging standard error")
         self._pace_writeback(self._tile_file(spec, var))
+        kinfo = self._manifest_k(spec, var)
         self._record_tile(
             self._tile_key(spec, var),
             {
@@ -692,6 +763,7 @@ class TileEngine:
                 "cells": int(land.sum()),
                 "ok_cells": int(okm.all(0).sum()),
                 "ts": time.time(),
+                **({"k": kinfo} if kinfo else {}),
             },
         )
 
@@ -830,6 +902,7 @@ class TileEngine:
             sub = self._chunk_engine(span, sub_days, day_sel)
             sub._fns = self._fns
             sub._shard = self._shard
+            sub._var_fns = self._var_fns  # shared dict: chunk compiles reuse
             yield sub, day_sel
 
     def _chunk_engine(self, span, sub_days, day_sel) -> "TileEngine":
@@ -846,6 +919,7 @@ class TileEngine:
             margin_km=self.margin_km,
             ctx=self.ctx,
             mosaic_paths=self.mosaic_paths,
+            k_table=self.k_table,
         )
         if self._direct:
             sub._mosaic = self._mosaic
@@ -987,10 +1061,14 @@ class TileEngine:
 
         def step(spec):
             task, pair = self.prepare_pair(spec, stations_a, stations_b)
+            p_spec = self._params_for(spec, var_a, var_b)
+            fn_spec = fn if p_spec is None else self._get_pair_fn(
+                shared, reconcile=reconcile, params=p_spec
+            )
             if fixed is not None:
-                fut = fn(self._shard_pair(pair), slot, fixed)
+                fut = fn_spec(self._shard_pair(pair), slot, fixed)
             else:
-                fut = fn(self._shard_pair(pair), slot)
+                fut = fn_spec(self._shard_pair(pair), slot)
             self._try_prefetch(fut.buf, fut.scales)
             return task.spec, fut
 
@@ -1077,7 +1155,11 @@ class TileEngine:
 
         def step(spec):
             task = self.prepare(spec, stations)
-            return task.spec, self._dispatch(task)
+            p_spec = self._params_for(spec, var)
+            fn_spec = None if p_spec is None else self._get_var_fn(
+                shared, p_spec
+            )
+            return task.spec, self._dispatch(task, fn=fn_spec)
 
         try:
             n_done = self._pipelined(

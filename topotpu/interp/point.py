@@ -263,8 +263,34 @@ def _interp_tile_multi(
     ses = [[] for _ in range(V)]
     oks = [[] for _ in range(V)]
     varios = [[] for _ in range(V)]
-    gains_by_month = []
-    ka = min(params.k_neighbors_anom, k_req)
+    gains_by_month = []  # [m] -> [(gains, nbr)] per variable
+    # Per-variable neighborhood sizes — the optim-nnghs consumption path
+    # (SURVEY §2.16: the reference's per-region optimized nnghs tables are
+    # consumed by every gridded run). Selection happens ONCE at
+    # k_req = params.k_neighbors (the caller sets it to the max over
+    # variables); each variable's kriging masks the slots beyond its own
+    # k_v — the same distance-sorted-prefix algebra as trail_ok above, so a
+    # masked slot is provably inert. Uniform sizes (the default) keep the
+    # fused normals+gains kernel and the variable-shared gains path
+    # unchanged.
+    kvs = (
+        tuple(int(k) for k in params.k_per_var)
+        if params.k_per_var else (k_req,) * V
+    )
+    ka_base = min(params.k_neighbors_anom, k_req)
+    kas = (
+        tuple(min(int(a), k_req) for a in params.ka_per_var)
+        if params.ka_per_var else (ka_base,) * V
+    )
+    if len(kvs) != V or len(kas) != V:
+        raise ValueError(
+            f"k_per_var/ka_per_var need one entry per variable ({V}): "
+            f"got {len(kvs)}/{len(kas)}"
+        )
+    if max(kvs) > k_req:
+        raise ValueError("k_per_var entries must be <= k_neighbors")
+    uniform = kvs == (k_req,) * V and len(set(kas)) == 1
+    ka = kas[0]
     cell_cov_anom = jnp.stack(
         [inputs.cell_elev, cell_x, cell_y], axis=-1
     )
@@ -305,6 +331,57 @@ def _interp_tile_multi(
         # (mpi_optim_nstns_norms vs _anoms, SURVEY §2.16); top_k output is
         # distance-sorted, so the anomaly neighborhood is a free prefix
         # slice of the normals one.
+        if not uniform:
+            # per-variable sizes (optim-nnghs consumption): each variable's
+            # kriging masks its trailing slots; gains are solved once per
+            # DISTINCT anomaly k (variables sharing a k share the solve and,
+            # downstream, the daily scatter). With month-invariant validity
+            # the gain solves happen once and later months reuse them.
+            slots = jnp.arange(params.k_neighbors)
+            results_m = [
+                krig_normals(
+                    nbr.dist,
+                    nbr.mask & (slots < kvs[v])[None, :]
+                    if kvs[v] < k_req else nbr.mask,
+                    cols["xyz"], nbr_cov, cell_cov,
+                    cols["norm"](v, m), cols["vario"](v, m),
+                    weight_kernel=params.weight_kernel, ridge=params.ridge,
+                    jitter_frac=params.chol_jitter,
+                    min_neighbors=params.min_neighbors,
+                    use_pallas=params.use_pallas,
+                )
+                for v in range(V)
+            ]
+            if m == 0 or not shared_validity:
+                gains_cache = {}
+                for ka_v in sorted(set(kas)):
+                    nbr_v = Neighborhood(
+                        idx=nbr.idx[:, :ka_v], dist=nbr.dist[:, :ka_v],
+                        mask=nbr.mask[:, :ka_v],
+                    )
+                    nca = jnp.stack(
+                        [cols["elev"][:, :ka_v], cols["x"][:, :ka_v],
+                         cols["y"][:, :ka_v]],
+                        axis=-1,
+                    )
+                    gains_cache[ka_v] = (
+                        anomaly_gain_rows(
+                            nbr_v.dist, nbr_v.mask, nca, cell_cov_anom,
+                            weight_kernel=params.weight_kernel,
+                            ridge=params.ridge,
+                        ),
+                        nbr_v,
+                    )
+                gains_cache0 = gains_cache
+            else:
+                gains_cache = gains_cache0
+            for v, res_v in enumerate(results_m):
+                normals[v].append(res_v.normal)
+                ses[v].append(res_v.se)
+                oks[v].append(res_v.ok & inputs.cell_mask)
+                varios[v].append(res_v.vario)
+            gains_by_month.append([gains_cache[kas[v]] for v in range(V)])
+            continue
         if ka == k_req:
             # same neighborhoods: var 0's normals + the (variable-shared)
             # gains come from ONE fused kernel; extra variables pay only a
@@ -374,7 +451,7 @@ def _interp_tile_multi(
             ses[v].append(res_v.se)
             oks[v].append(res_v.ok & inputs.cell_mask)
             varios[v].append(res_v.vario)
-        gains_by_month.append((gains, nbr_a))
+        gains_by_month.append([(gains, nbr_a)] * V)
 
     return _finish_tile_multi(
         inputs, all_vars, params, shared_validity, normals, ses, oks,
@@ -401,62 +478,87 @@ def _finish_tile_multi(
         and C % CELLS_BLOCK == 0
     )
     dailies = [[] for _ in range(V)]  # [v][m] (C, dpm)
+
+    def _gain_groups(entries):
+        """Group variables that share a gain solve (same traced object —
+        uniform runs share one across all variables; per-variable anomaly
+        k runs share within equal-k subsets) so each group pays ONE
+        scatter/matmul over its concatenated day axes."""
+        groups: list = []
+        for v, (g, nb) in enumerate(entries):
+            for grp in groups:
+                if grp[0] is g:
+                    grp[2].append(v)
+                    break
+            else:
+                groups.append((g, nb, [v]))
+        return groups
+
     if use_scatter_kernel and shared_validity:
         # With month-invariant validity the anomaly gains are identical for
         # every month (geometry-only), so ONE scatter + ONE MXU matmul over
         # the concatenated (S, V*12*dpm) day matrix covers the whole year
-        # for every variable at once.
+        # for every variable (per gain group) at once.
         from topotpu.kernels.pallas_scatter import scatter_daily_matmul
 
-        g0, nbr0 = gains_by_month[0]
-        Y_cat = jnp.concatenate(
-            [
-                jnp.transpose(var.anoms, (1, 0, 2)).reshape(S, 12 * dpm)
-                for var in all_vars
-            ],
-            axis=1,
-        )
-        anom_all = scatter_daily_matmul(
-            nbr0.idx.T, g0.T, nbr0.mask.T.astype(dtype), Y_cat
-        )
-        for v in range(V):
-            off = v * 12 * dpm
-            for m in range(12):
-                dailies[v].append(
-                    normals[v][m][:, None]
-                    + anom_all[:, off + m * dpm : off + (m + 1) * dpm]
-                )
+        for g0, nbr0, vs in _gain_groups(gains_by_month[0]):
+            Y_cat = jnp.concatenate(
+                [
+                    jnp.transpose(all_vars[v].anoms, (1, 0, 2)).reshape(
+                        S, 12 * dpm
+                    )
+                    for v in vs
+                ],
+                axis=1,
+            )
+            anom_all = scatter_daily_matmul(
+                nbr0.idx.T, g0.T, nbr0.mask.T.astype(dtype), Y_cat
+            )
+            for j, v in enumerate(vs):
+                off = j * 12 * dpm
+                for m in range(12):
+                    dailies[v].append(
+                        normals[v][m][:, None]
+                        + anom_all[:, off + m * dpm : off + (m + 1) * dpm]
+                    )
     else:
         for m in range(12):
-            gains, nbr_a = gains_by_month[m]
+            entries = gains_by_month[m]
             if use_scatter_kernel:
                 from topotpu.kernels.pallas_scatter import scatter_daily_matmul
 
-                Y_m = jnp.concatenate(
-                    [var.anoms[m] for var in all_vars], axis=1
-                )  # (S, V*dpm): one scatter serves every variable
-                anom = scatter_daily_matmul(
-                    nbr_a.idx.T, gains.T, nbr_a.mask.T.astype(dtype), Y_m
-                )
-                for v in range(V):
-                    dailies[v].append(
-                        normals[v][m][:, None]
-                        + anom[:, v * dpm : (v + 1) * dpm]
+                for gains, nbr_a, vs in _gain_groups(entries):
+                    Y_m = jnp.concatenate(
+                        [all_vars[v].anoms[m] for v in vs], axis=1
+                    )  # (S, len(vs)*dpm): one scatter serves the group
+                    anom = scatter_daily_matmul(
+                        nbr_a.idx.T, gains.T, nbr_a.mask.T.astype(dtype), Y_m
                     )
+                    for j, v in enumerate(vs):
+                        dailies[v].append(
+                            normals[v][m][:, None]
+                            + anom[:, j * dpm : (j + 1) * dpm]
+                        )
             elif dpm <= 64:
                 # short day axes: the (C,k,dpm) gather+einsum beats the
                 # (C,S) scatter-add (irregular TPU writes)
                 from topotpu.interp.anoms import predict_daily_gathered
 
                 for v in range(V):
+                    gains, nbr_a = entries[v]
                     anom = predict_daily_gathered(
                         gains, nbr_a.idx, nbr_a.mask, all_vars[v].anoms[m]
                     )
                     dailies[v].append(normals[v][m][:, None] + anom)
             else:
-                G = scatter_gains(gains, nbr_a.idx, nbr_a.mask, S)
+                Gs: dict = {}
                 for v in range(V):
-                    anom = predict_daily(G, all_vars[v].anoms[m])
+                    gains, nbr_a = entries[v]
+                    if id(gains) not in Gs:
+                        Gs[id(gains)] = scatter_gains(
+                            gains, nbr_a.idx, nbr_a.mask, S
+                        )
+                    anom = predict_daily(Gs[id(gains)], all_vars[v].anoms[m])
                     dailies[v].append(normals[v][m][:, None] + anom)
 
     return [
