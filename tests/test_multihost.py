@@ -373,3 +373,114 @@ def test_two_process_direct_mosaic_virtual_master(tmp_path_factory):
         steps.step_mosaic(cfg)
     with h5py.File(data / f"mosaic_{C.TMIN}.h5") as f:
         assert bool(f.attrs["complete"])  # old master untouched (tmp+rename)
+
+
+def test_two_process_chunked_direct_mosaic(tmp_path_factory):
+    """Multi-host x CHUNKED x direct-to-mosaic — the exact combination a
+    full-span production run on a 2-host v5e-8 uses (VERDICT r4 #3: the
+    direct-VDS test above is unchunked and the chunked test ran per-tile).
+    Each process writes per-chunk day ranges at their time offsets into its
+    own FULL-SPAN shard; the mosaic stage publishes VDS masters; validate
+    is green; and the masters are bitwise identical to a single-process
+    chunked direct run on the same mesh size."""
+    import h5py
+
+    tmp = tmp_path_factory.mktemp("mh_chunk_direct")
+    data = tmp / "data"
+    cfg = TopoConfig(
+        data_dir=str(data),
+        start_date="2014-01-01", end_date="2015-12-31",  # 2 years
+        tile_rows=8, tile_cols=8,
+        interp=InterpParams(k_neighbors=8, k_neighbors_anom=8,
+                            max_tile_stations=64),
+        mesh=MeshParams(n_devices=2),
+    )
+    assert cfg.mosaic_direct  # production default drives this path
+    world, days = _build_artifacts(data, cfg)
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "topotpu.cli", "interp",
+             "--config", str(cfg_path), "--chunk-years", "1",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            cwd=REPO, env=_worker_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    # full-span per-process shards, finalized; chunk manifests per host and
+    # strided ownership inside EVERY chunk; no per-tile files anywhere
+    for var in (C.TMIN, C.TMAX):
+        for i in range(2):
+            sp = data / f"mosaic_{var}_p{i:03d}.h5"
+            assert sp.exists(), sp
+            with h5py.File(sp) as f:
+                assert f.attrs["layout"] == "direct"
+                assert bool(f.attrs["complete"])
+                assert int(f.attrs["process_count"]) == 2
+                assert f[var].shape[0] == 730  # full span, not one chunk
+    chunk_dirs = sorted((data / "tiles").glob("chunk_*_*"))
+    assert [d.name for d in chunk_dirs] == ["chunk_2014_2014",
+                                            "chunk_2015_2015"]
+    for d in chunk_dirs:
+        m0 = json.loads((d / "manifest_p000.json").read_text())["tiles"]
+        m1 = json.loads((d / "manifest_p001.json").read_text())["tiles"]
+        assert m0 and m1 and not (set(m0) & set(m1))
+        assert all(int(k.split("_")[1]) % 2 == 0 for k in m0)
+        assert all(int(k.split("_")[1]) % 2 == 1 for k in m1)
+        assert not list(d.glob("*_tile*.h5"))
+
+    from topotpu.cli import steps
+
+    res = steps.step_mosaic(cfg)
+    assert res[C.TMIN] == res[C.TMAX] > 0
+    for var in (C.TMIN, C.TMAX):
+        with h5py.File(data / f"mosaic_{var}.h5") as f:
+            assert bool(f.attrs["virtual"])
+            assert bool(f.attrs["complete"])
+            assert f[var].is_virtual
+            assert f[var].shape[0] == 730
+
+    val = steps.step_validate(cfg)
+    assert val[C.TMIN]["status"] == "ok", val
+    assert val[C.TMAX]["status"] == "ok", val
+    assert val["crossvar"]["violations"] == 0
+
+    # bitwise parity vs a single-process CHUNKED direct run (same mesh
+    # size, config-fixed pack lattice, serial-DB station loading)
+    from topotpu.cli.steps import _station_set
+    from topotpu.dist.engine import TileEngine
+
+    rasters = RasterStack.load(data / "rasters.h5")
+    sets = {
+        v: _station_set(data / f"serial_{v}.h5", days)
+        for v in (C.TMIN, C.TMAX)
+    }
+    single = tmp / "single"
+    single.mkdir()
+    eng = TileEngine(
+        cfg, rasters, days, single / "tiles",
+        mosaic_paths={v: single / f"mosaic_{v}.h5" for v in (C.TMIN, C.TMAX)},
+    )
+    eng.run_production_pair(C.TMIN, C.TMAX, sets[C.TMIN], sets[C.TMAX],
+                            years_per_chunk=1, progress=False)
+    for var in (C.TMIN, C.TMAX):
+        with h5py.File(data / f"mosaic_{var}.h5") as fm, \
+             h5py.File(single / f"mosaic_{var}.h5") as fs:
+            assert np.array_equal(fm[var][...], fs[var][...])
+            assert np.array_equal(
+                np.nan_to_num(fm["normal"][...]),
+                np.nan_to_num(fs["normal"][...]),
+            )
+            assert np.array_equal(
+                np.nan_to_num(fm["se"][...]),
+                np.nan_to_num(fs["se"][...]),
+            )
