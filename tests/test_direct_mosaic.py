@@ -509,3 +509,73 @@ def test_streamed_validate_unsampled_corruption_needs_deep(tmp_path, setup):
     punch(next(t for t in land_tiles if t.tile_id in sampled_ids))
     with pytest.raises(RuntimeError, match="disagrees with the product"):
         step_validate(vcfg)
+
+
+def test_streamed_validate_exact_cross_chunk_coverage(tmp_path, setup,
+                                                      monkeypatch):
+    """Coverage across chunks is EXACT (VERDICT r4 #4 / old KNOWN_GAPS #6):
+    cell A uncovered only in chunk 1 and cell B uncovered only in chunk 2
+    must BOTH count as uncovered (the old min-over-chunks bound saw one).
+    Partial chunks carry per-cell bitmaps; validate ANDs them, agrees with
+    --deep exactly, and the disk sample's strict-equality check holds on a
+    genuinely partial product."""
+    import h5py
+
+    from topotpu.cli.steps import step_validate
+    from topotpu.core.grid import Tiling
+    from topotpu.io.ncdf import FILL_I16
+
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    d = tmp_path / "exactcov"
+    tiling = Tiling(rasters.grid, cfg.tile_rows, cfg.tile_cols)
+    ts0 = next(iter(tiling.land_tiles(rasters.landmask)))
+    land_t = rasters.landmask[ts0.row0:ts0.row0 + ts0.nrows,
+                              ts0.col0:ts0.col0 + ts0.ncols]
+    flat_land = np.flatnonzero(land_t.reshape(-1))
+    cell_a, cell_b = int(flat_land[0]), int(flat_land[1])
+
+    orig = TileEngine._write_tile_direct
+
+    def patched(self, spec, var, result, save_manifest=True):
+        # simulate the device producing an uncovered cell in ONE chunk:
+        # chunk 1 misses cell A, chunk 2 misses cell B (tmin, tile ts0)
+        if var == "tmin" and spec.tile_id == ts0.tile_id:
+            buf = np.asarray(result.buf).copy()
+            cell = cell_a if self.mosaic_t0 == 0 else cell_b
+            buf[: self.days.ndays, cell] = FILL_I16
+            result = result._replace(buf=buf)
+        return orig(self, spec, var, result, save_manifest)
+
+    monkeypatch.setattr(TileEngine, "_write_tile_direct", patched)
+    eng = _direct_engine(cfg, rasters, days, d)
+    eng.run_production_pair("tmin", "tmax", a, b, years_per_chunk=1,
+                            progress=False)
+    monkeypatch.setattr(TileEngine, "_write_tile_direct", orig)
+
+    # the partial chunk entries carry bitmaps; full chunks carry none
+    man1 = json.loads((d / "tiles" / "chunk_2014_2014" / "manifest.json")
+                      .read_text())["tiles"]
+    man2 = json.loads((d / "tiles" / "chunk_2015_2015" / "manifest.json")
+                      .read_text())["tiles"]
+    key = f"tmin_{ts0.tile_id:05d}"
+    assert "cov_bits" in man1[key]["verify"]
+    assert "cov_bits" in man2[key]["verify"]
+    assert man1[key]["verify"]["covered"] == man1[key]["cells"] - 1
+    for k, v in man1.items():
+        if k != key and k.startswith("tmin"):
+            assert "cov_bits" not in v["verify"]  # healthy tiles stay lean
+
+    rasters.save(d / "rasters.h5")
+    vcfg = dataclasses.replace(cfg, data_dir=str(d),
+                               validate_sample_frac=1.0)
+    fast = step_validate(vcfg)
+    assert fast["mode"] == "streamed"
+    deep = step_validate(vcfg, deep=True)
+    # EXACT: two cells uncovered (one per chunk); min-over-chunks would
+    # have claimed only one
+    total_land = int(rasters.landmask.sum())
+    expect = round((total_land - 2) / total_land, 4)
+    assert fast["tmin"]["daily_coverage"] == expect
+    assert deep["tmin"]["daily_coverage"] == expect
+    assert fast["tmax"]["daily_coverage"] == 1.0

@@ -755,11 +755,14 @@ def _validate_streamed(cfg: TopoConfig, p, rasters) -> dict | None:
     and the disk sample raises: that is precisely the corruption validate
     exists to catch.
 
-    Coverage subtlety (chunked runs): per-chunk covered counts AND to the
-    true full-span count only when coverage is all-or-nothing per cell;
-    min-over-chunks is an upper bound otherwise. The 0.99 pass bar plus
-    the disk sample (which computes the true full-span count) keeps the
-    bound honest; --deep gives the exact scan."""
+    Chunked-run coverage is EXACT: a chunk that covers every land cell of
+    a tile contributes no constraint; a partial chunk carries a per-cell
+    coverage bitmap (engine verify["cov_bits"]) and the full-span count is
+    the popcount of the bitmaps' AND — different cells missing in
+    different chunks are counted correctly. A partial tile whose manifest
+    predates the bitmaps (or lost it) falls back to the full scan rather
+    than to a bound."""
+    import base64
     import json as _json
 
     import h5py
@@ -822,7 +825,23 @@ def _validate_streamed(cfg: TopoConfig, p, rasters) -> dict | None:
                     return None
                 entries.append(e)
             cells = int(entries[0]["cells"])
-            cov = min(int(e["verify"]["covered"]) for e in entries)
+            covs = [int(e["verify"]["covered"]) for e in entries]
+            if all(c == cells for c in covs):
+                cov = cells
+            else:
+                # exact full-span coverage = popcount of the AND of the
+                # partial chunks' per-cell bitmaps (a fully-covered chunk
+                # is all-ones and drops out)
+                bits = None
+                for e, c in zip(entries, covs):
+                    if c == cells:
+                        continue
+                    b64 = e["verify"].get("cov_bits")
+                    if b64 is None:
+                        return None  # pre-bitmap manifest: need the scan
+                    arr = np.frombuffer(base64.b64decode(b64), np.uint8)
+                    bits = arr.copy() if bits is None else (bits & arr)
+                cov = int(np.unpackbits(bits).sum())
             norms = [e["verify"] for e in entries if "normal" in e["verify"]]
             if not norms:
                 return None
@@ -865,10 +884,9 @@ def _validate_streamed(cfg: TopoConfig, p, rasters) -> dict | None:
                 raw = f[var][(slice(None),) + sl]
                 raws[var] = raw
                 cov_true = int(((raw != FILL_I16).all(0) & land_t).sum())
-                claimed_full = rec["cov"] == rec["cells"]
-                if (claimed_full and cov_true != rec["cells"]) or (
-                    cov_true > rec["cov"]
-                ):
+                # streamed coverage is exact (bitmap-AND across chunks),
+                # so the disk comparison is a strict equality
+                if cov_true != rec["cov"]:
                     raise RuntimeError(
                         f"validate: streamed coverage for {key} "
                         f"({rec['cov']}/{rec['cells']}) disagrees with the "

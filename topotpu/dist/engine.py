@@ -640,8 +640,22 @@ class TileEngine:
         # validate's real target), not physical disk integrity.
         raw_back = w.read_tile_raw(spec.row0, spec.col0, nr, nc,
                                    t0=self.mosaic_t0, nt=daily.shape[0])
-        covered = int(((raw_back != FILL_I16).all(0) & land).sum())
+        cov_cells = (raw_back != FILL_I16).all(0) & land
+        covered = int(cov_cells.sum())
         verify = {"covered": covered}
+        if covered < int(land.sum()):
+            # Exact cross-chunk coverage: record WHICH land cells this
+            # chunk covered (2 KB bitmap per 128x128 tile) so chunked
+            # validate can AND bitmaps across chunks instead of
+            # min-bounding counts — different cells missing in different
+            # chunks are counted exactly (closes KNOWN_GAPS r4 #6).
+            # Fully-covered tiles skip the bitmap entirely, so healthy
+            # production manifests don't grow at all.
+            import base64
+
+            verify["cov_bits"] = base64.b64encode(
+                np.packbits(cov_cells.reshape(-1)).tobytes()
+            ).decode()
         if normal is not None:
             nb, sb = w.read_monthly_back(spec.row0, spec.col0, nr, nc)
             verify["normal"] = int((np.isfinite(nb).all(0) & land).sum())
