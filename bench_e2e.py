@@ -100,7 +100,34 @@ def main():
     print(json.dumps({"phase": "warmup", "wall_s": round(time.perf_counter() - t0, 2),
                       "tiles": n_tiles}), flush=True)
 
+    # Storage-weather probe (VERDICT r4 weak #1: the incl-IO rate rides
+    # this container's bursty credit-based disk between ~0.9x and ~1.3x
+    # the per-host budget — print the weather INTO the artifact so the
+    # rate is interpretable without prose): 256 MB written + fdatasync'd
+    # through the same directory the tiles use.
+    import os
+
+    def _disk_probe(mb: int = 256) -> float:
+        path = out / ".disk_probe"
+        blk = np.random.default_rng(0).integers(
+            0, 255, 1 << 20, dtype=np.uint8
+        ).tobytes()
+        t = time.perf_counter()
+        with open(path, "wb") as f:
+            for _ in range(mb):
+                f.write(blk)
+            f.flush()
+            os.fdatasync(f.fileno())
+        dt = time.perf_counter() - t
+        path.unlink()
+        return mb / dt
+
+    probe = _disk_probe()
+    print(json.dumps({"phase": "disk_probe",
+                      "disk_probe_MBps": round(probe, 1)}), flush=True)
+
     rates = []
+    run_MBps = []
     for r in range(args.repeats):
         run_dir = out / f"run{r}"
         shutil.rmtree(run_dir, ignore_errors=True)
@@ -116,8 +143,15 @@ def main():
         dt = time.perf_counter() - t0
         rate = var_cells / dt
         rates.append(rate)
+        written = sum(
+            f.stat().st_size for f in run_dir.rglob("*") if f.is_file()
+        )
+        run_MBps.append(written / dt / 1e6)
         print(json.dumps({"phase": f"run{r}", "wall_s": round(dt, 2),
-                          "var_cells_per_s": round(rate, 1)}), flush=True)
+                          "var_cells_per_s": round(rate, 1),
+                          "written_MB": round(written / 1e6, 1),
+                          "effective_disk_MBps": round(run_MBps[-1], 1)},
+                         ), flush=True)
     if not rates:  # --repeats 0: warm-up-only (pre-pay the remote compile)
         print(json.dumps({"metric": "warmup-only", "value": None,
                           "unit": "cells/sec"}), flush=True)
@@ -132,6 +166,11 @@ def main():
         "median": round(float(np.median(rates)), 1),
         "unit": "cells/sec",
         "vs_north_star_per_host": round(best / NORTH_STAR_PER_HOST, 3),
+        "median_vs_north_star_per_host": round(
+            float(np.median(rates)) / NORTH_STAR_PER_HOST, 3
+        ),
+        "disk_probe_MBps": round(probe, 1),
+        "median_effective_disk_MBps": round(float(np.median(run_MBps)), 1),
     }), flush=True)
 
 

@@ -94,14 +94,24 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["stage"] == "xval-interp"
-    assert out["result"]["mae_mean"] < 1.5
+    # both variables, per month and per region (the paper-table protocol)
+    for var in ("tmin", "tmax"):
+        r = out["result"][var]
+        assert r["mae_mean"] < 1.5
+        assert len(r["mae_by_month"]) == 12
+        assert r["mae_by_region"]  # single global region without regions.h5
+        assert r["n_stations_scored"] > 0
 
     rc = main(["xval-daily", "--config", str(cfg_path)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["stage"] == "xval-daily"
-    assert out["result"]["mae"] < 2.5
-    assert out["result"]["rmse"] >= out["result"]["mae"]
+    for var in ("tmin", "tmax"):
+        r = out["result"][var]
+        assert r["mae"] < 2.5
+        assert r["rmse"] >= r["mae"]
+        assert len(r["mae_by_month"]) == 12
+        assert r["mae_by_region"]
 
     # make-regions: covariate-clustered climate-division stand-in, written
     # to data_dir/regions.h5 and picked up by optim-nnghs automatically

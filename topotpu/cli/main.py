@@ -216,58 +216,11 @@ def main(argv=None) -> int:
         report("point", steps.step_point(cfg, sites, out_dir=args.out))
 
     if stage == "xval-interp":
-        import numpy as np
-
-        from topotpu.core import constants as C
-        from topotpu.cli.steps import _paths
-        from topotpu.interp.xval import xval_interp_normals
-        from topotpu.io.stndb import StationDB
-
-        p = _paths(cfg)
-        with StationDB(p["serial_tmin"]) as db:
-            vario = np.stack(
-                [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
-                axis=-1,
-            )
-            bad = db.stn(C.BAD).astype(bool)
-            sc = xval_interp_normals(
-                db.stn(C.LON), db.stn(C.LAT), db.stn(C.ELEV), db.stn(C.TDI),
-                db.stn(C.LST), db.stn(C.NORM), vario,
-                np.repeat(~bad[:, None], 12, 1), cfg.interp,
-            )
-        report("xval-interp", {
-            "mae_mean": float(sc.mae.mean()),
-            "bias_mean": float(sc.bias.mean()),
-            "r2_mean": float(sc.r2.mean()),
-            "mae_by_month": [float(x) for x in sc.mae],
-        })
+        # both variables, per month AND per region (regions.h5 when
+        # present) — the paper's normals error-table protocol
+        report("xval-interp", steps.step_xval_interp(cfg))
     if stage == "xval-daily":
-        import numpy as np
-
-        from topotpu.core import constants as C
-        from topotpu.cli.steps import _paths, _days
-        from topotpu.interp.xval import xval_interp_daily
-        from topotpu.io.stndb import StationDB
-
-        p = _paths(cfg)
-        days = _days(cfg)
-        with StationDB(p["serial_tmin"]) as db:
-            vario = np.stack(
-                [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL), db.stn(C.VARIO_RNG)],
-                axis=-1,
-            )
-            bad = db.stn(C.BAD).astype(bool)
-            norms = db.stn(C.NORM)
-            filled = db.obs(C.TMIN)
-            anoms = (filled - norms[:, days.month_idx]).astype(np.float32)
-            out = xval_interp_daily(
-                db.stn(C.LON), db.stn(C.LAT), db.stn(C.ELEV), db.stn(C.TDI),
-                db.stn(C.LST), norms, vario,
-                np.repeat(~bad[:, None], 12, 1), anoms, days.month_idx,
-                cfg.interp,
-            )
-        out.pop("per_station_mae")
-        report("xval-daily", out)
+        report("xval-daily", steps.step_xval_daily(cfg))
     if stage == "xval-infill":
         import numpy as np
 

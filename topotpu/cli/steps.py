@@ -1136,6 +1136,133 @@ def step_make_regions(cfg: TopoConfig, n_regions: int = 12,
     }
 
 
+# ----------------------------------------------------- stage: xval tables
+
+
+def _station_region_labels(cfg: TopoConfig, lon, lat) -> np.ndarray | None:
+    """Region labels at station locations from data_dir/regions.h5 when it
+    exists (make-regions artifact / rasterized climate divisions), else
+    None (single global region)."""
+    import h5py
+
+    p = _paths(cfg)
+    rp = p["root"] / "regions.h5"
+    if not rp.exists():
+        return None
+    rasters = RasterStack.load(p["rasters"])
+    with h5py.File(rp) as f:
+        reg_grid = f["regions"][...]
+    if reg_grid.shape != rasters.grid.shape:
+        return None
+    return _sample_regions(reg_grid, *rasters.grid.rowcol(lon, lat))
+
+
+def _by_region(per_station: np.ndarray, regions: np.ndarray | None) -> dict:
+    """{region: (mean, n_stations)} over finite per-station scores."""
+    if regions is None:
+        regions = np.zeros(len(per_station), int)
+    out = {}
+    for r in np.unique(regions):
+        v = per_station[regions == r]
+        v = v[np.isfinite(v)]
+        if v.size:
+            out[str(int(r))] = {"mae": round(float(v.mean()), 4),
+                                "n_stations": int(v.size)}
+    return out
+
+
+def step_xval_interp(cfg: TopoConfig) -> dict:
+    """Leave-one-station-out NORMALS x-val, both variables, reported per
+    month and per region — the protocol behind the reference paper's
+    normals error tables (SURVEY §4/§6: MAE ~0.5-0.8 C per month/region;
+    synthetic truth should beat it)."""
+    from topotpu.interp.xval import xval_interp_normals
+
+    p = _paths(cfg)
+    out: dict = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"serial_{var}"]
+        if not path.exists():
+            out[var] = {"status": "missing serial DB"}
+            continue
+        with StationDB(path) as db:
+            vario = np.stack(
+                [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL),
+                 db.stn(C.VARIO_RNG)],
+                axis=-1,
+            )
+            bad = db.stn(C.BAD).astype(bool)
+            lon, lat = db.stn(C.LON), db.stn(C.LAT)
+            sc = xval_interp_normals(
+                lon, lat, db.stn(C.ELEV), db.stn(C.TDI),
+                db.stn(C.LST), db.stn(C.NORM), vario,
+                np.repeat(~bad[:, None], 12, 1), cfg.interp,
+            )
+        regions = _station_region_labels(cfg, lon, lat)
+        err = np.abs(sc.per_station_err)
+        fin = np.isfinite(err)
+        cnt = fin.sum(axis=1)
+        stn_mae = np.where(
+            cnt > 0,
+            np.where(fin, err, 0.0).sum(axis=1) / np.maximum(cnt, 1),
+            np.nan,
+        )
+        out[var] = {
+            "mae_mean": round(float(sc.mae.mean()), 4),
+            "bias_mean": round(float(sc.bias.mean()), 4),
+            "r2_mean": round(float(sc.r2.mean()), 4),
+            "mae_by_month": [round(float(x), 4) for x in sc.mae],
+            "mae_by_region": _by_region(stn_mae, regions),
+            "n_stations_scored": int(np.isfinite(stn_mae).sum()),
+        }
+    return out
+
+
+def step_xval_daily(cfg: TopoConfig) -> dict:
+    """Leave-one-station-out x-val of full DAILY values (normals + GWR
+    anomalies recombined), both variables, per month and per region — the
+    reference paper's headline daily error tables (SURVEY §6: daily MAE
+    ~1.2-2.0 C)."""
+    from topotpu.interp.xval import xval_interp_daily
+
+    p = _paths(cfg)
+    days = _days(cfg)
+    out: dict = {}
+    for var in (C.TMIN, C.TMAX):
+        path = p[f"serial_{var}"]
+        if not path.exists():
+            out[var] = {"status": "missing serial DB"}
+            continue
+        with StationDB(path) as db:
+            vario = np.stack(
+                [db.stn(C.VARIO_NUG), db.stn(C.VARIO_PSILL),
+                 db.stn(C.VARIO_RNG)],
+                axis=-1,
+            )
+            bad = db.stn(C.BAD).astype(bool)
+            lon, lat = db.stn(C.LON), db.stn(C.LAT)
+            norms = db.stn(C.NORM)
+            anoms = (db.obs(var) - norms[:, days.month_idx]).astype(
+                np.float32
+            )
+            res = xval_interp_daily(
+                lon, lat, db.stn(C.ELEV), db.stn(C.TDI),
+                db.stn(C.LST), norms, vario,
+                np.repeat(~bad[:, None], 12, 1), anoms, days.month_idx,
+                cfg.interp,
+            )
+        regions = _station_region_labels(cfg, lon, lat)
+        psm = res.pop("per_station_mae")
+        out[var] = {
+            **{k: (round(float(v), 4) if isinstance(v, float) else
+                   [round(float(x), 4) for x in v])
+               for k, v in res.items()},
+            "mae_by_region": _by_region(psm, regions),
+            "n_stations_scored": int(np.isfinite(psm).sum()),
+        }
+    return out
+
+
 def _sample_regions(reg_grid: np.ndarray, rows: np.ndarray,
                     cols: np.ndarray) -> np.ndarray:
     """Region labels at station cells. A station whose nearest cell is

@@ -203,13 +203,22 @@ def xval_interp_daily(
     # clamped normal would grade solve failure, not interpolation skill
     vmask = np.asarray(stn_valid).all(axis=1) & oks.all(axis=1)
     err = (pred - truth)[vmask]
-    psm = np.abs(pred - truth).mean(axis=1)
+    abs_all = np.abs(pred - truth)
+    psm = abs_all.mean(axis=1)
+    # per-month daily MAE — the reference paper reports its daily error
+    # tables by month (SURVEY §6)
+    mae_by_month = [
+        float(abs_all[vmask][:, month_idx == m].mean()) if err.size
+        else float("nan")
+        for m in range(12)
+    ]
     return {
         "mae": float(np.abs(err).mean()) if err.size else float("nan"),
         "bias": float(err.mean()) if err.size else float("nan"),
         "rmse": (
             float(np.sqrt((err**2).mean())) if err.size else float("nan")
         ),
+        "mae_by_month": mae_by_month,
         "per_station_mae": np.where(vmask, psm, np.nan),
     }
 
