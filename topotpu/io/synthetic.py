@@ -48,6 +48,11 @@ class SyntheticWorld:
     trend_coef: np.ndarray
     resid_field_fn: object  # callable (lon, lat) -> GP residual (exact, via conditioning)
     ndays: int
+    # callable (lon, lat) -> (N, ndays) noise-free daily-anomaly field (the
+    # synoptic modes evaluated at arbitrary points, per-point demeaned like
+    # stn_anoms) — ground truth for daily-value spot checks; None on worlds
+    # built before round 5
+    anom_field_fn: object = None
 
     @property
     def n_stations(self) -> int:
@@ -234,6 +239,19 @@ def make_world(
     # anomalies must be zero-mean per station-month by construction; enforce
     stn_anoms -= stn_anoms.mean(axis=1, keepdims=True)
 
+    def anom_field_fn(lon, lat):
+        """Noise-free synoptic anomaly field at arbitrary points (same
+        mode loadings + AR(1) series the stations sampled, same per-point
+        demeaning; excludes the 0.3 C station noise) — daily-value ground
+        truth for spot checks. Pure closure over already-drawn (centers,
+        z): adds no rng draws, so worlds regenerate bit-identically."""
+        dq = haversine_km(
+            np.atleast_1d(lon)[:, None], np.atleast_1d(lat)[:, None],
+            centers[None, :, 0], centers[None, :, 1],
+        )
+        a = np.exp(-dq / 120.0) @ z.T  # (N, ndays)
+        return a - a.mean(axis=1, keepdims=True)
+
     return SyntheticWorld(
         grid=grid,
         elev=elev,
@@ -251,4 +269,5 @@ def make_world(
         trend_coef=trend_coef,
         resid_field_fn=resid_field_fn,
         ndays=ndays,
+        anom_field_fn=anom_field_fn,
     )
