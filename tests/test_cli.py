@@ -210,6 +210,81 @@ def test_cli_full_pipeline(tmp_path, capsys):
         step_validate(TopoConfig.load(cfg_path))
 
 
+def test_all_stage_resume(tmp_path, capsys):
+    """`all` is relaunch-safe (SURVEY §5: the artifact chain is the
+    checkpoint): a second identical invocation skips every completed
+    stage instead of recomputing it; a stage with a missing artifact
+    re-runs and CASCADES (everything downstream re-runs too); --redo
+    forces a full re-run; and a mismatched world request fails loudly
+    instead of silently mixing artifacts from two worlds."""
+    import pytest
+
+    cfg = TopoConfig(
+        data_dir=str(tmp_path / "data"),
+        # full calendar year: validate's normals criterion needs all 12
+        # monthly planes representable in the span
+        start_date="2015-01-01",
+        end_date="2015-12-31",
+        tile_rows=20,
+        tile_cols=20,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.save(cfg_path)
+    args = ["all", "--config", str(cfg_path), "--grid", "20",
+            "--stations", "32"]
+
+    def stage_results(rc):
+        assert rc == 0
+        return {
+            x["stage"]: x["result"]
+            for x in (json.loads(line)
+                      for line in capsys.readouterr().out.splitlines())
+        }
+
+    heavy = ["synth-data", "qa", "homog", "infill", "krig-params"]
+    first = stage_results(main(args))
+    assert not any(
+        isinstance(first[s], str) and "skipped" in first[s] for s in heavy
+    )
+
+    data = tmp_path / "data"
+    artifacts = [data / "homog.h5", data / "serial_tmin.h5",
+                 data / "serial_tmax.h5", data / "all_obs.h5"]
+    mtimes = {a: a.stat().st_mtime_ns for a in artifacts}
+
+    # identical relaunch: every heavy stage skips, artifacts untouched,
+    # and the verification stages still run and still pass
+    second = stage_results(main(args))
+    for s in heavy:
+        assert second[s].startswith("skipped"), (s, second[s])
+    assert {a: a.stat().st_mtime_ns for a in artifacts} == mtimes
+    assert second["validate"]["tmin"]["status"] == "ok"
+
+    # cascade: a deleted mid-chain artifact re-runs that stage AND all
+    # downstream stages, even though their artifacts exist
+    (data / "homog.h5").unlink()
+    third = stage_results(main(args))
+    assert third["synth-data"].startswith("skipped")
+    assert third["qa"].startswith("skipped")
+    for s in ("homog", "infill", "krig-params"):
+        assert not (isinstance(third[s], str)
+                    and third[s].startswith("skipped")), (s, third[s])
+    assert third["validate"]["tmin"]["status"] == "ok"
+
+    # --redo: nothing skips
+    redone = stage_results(main(args + ["--redo"]))
+    assert not any(
+        isinstance(redone[s], str) and "skipped" in redone[s] for s in heavy
+    )
+
+    # a different world into the same data_dir must fail loudly (silently
+    # skipping would serve the OLD world; silently regenerating would
+    # orphan downstream artifacts)
+    with pytest.raises(ValueError, match="different synthetic world"):
+        main(["all", "--config", str(cfg_path), "--grid", "20",
+              "--stations", "48"])
+
+
 def test_reconcile_cross_variable_packed(tmp_path):
     """int16-packed mosaics: midpoints outside a variable's representable
     pack range must CLIP (an unclipped cast wraps, and the first overflow

@@ -132,6 +132,11 @@ def main(argv=None) -> int:
     ap.add_argument("--k-candidates", default=None,
                     help="optim-nnghs: comma-separated neighborhood sizes "
                          "to sweep (default 8,16,24,32,48)")
+    ap.add_argument("--redo", action="store_true",
+                    help="all: re-run every stage even when its output "
+                         "artifact already exists (default: resume — skip "
+                         "completed stages; the artifact chain is the "
+                         "checkpoint)")
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
@@ -155,10 +160,33 @@ def main(argv=None) -> int:
         _stage_t0[0] = now
 
     stage = args.stage
+
+    # Stage-level resume for `all` (SURVEY §5: the artifact chain IS the
+    # checkpoint). A killed/stalled production run relaunched with the same
+    # command skips every stage whose artifact is complete instead of
+    # recomputing hours of qa/infill/optim-nnghs; the cascade guarantees
+    # consistency (once one stage re-runs, everything downstream re-runs,
+    # because its artifact was rewritten). --redo forces a full re-run.
+    resume: dict = {}
+    if stage == "all" and not args.redo:
+        resume = steps.stage_resume_status(
+            cfg, args.grid, args.grid, args.stations, args.seed
+        )
+    upstream_reran = [False]
+
+    def run_or_skip(name, fn):
+        if resume.get(name, False) and not upstream_reran[0]:
+            report(name, "skipped (resume: artifact complete; --redo to force)")
+        else:
+            upstream_reran[0] = upstream_reran[0] or bool(resume)
+            report(name, fn())
+
     if stage in ("synth-data", "all"):
-        steps.step_synth_data(cfg, nrows=args.grid, ncols=args.grid,
-                              n_stations=args.stations, seed=args.seed)
-        report("synth-data", "ok")
+        run_or_skip("synth-data", lambda: (
+            steps.step_synth_data(cfg, nrows=args.grid, ncols=args.grid,
+                                  n_stations=args.stations, seed=args.seed),
+            "ok",
+        )[1])
     if stage == "download":
         steps.step_download(cfg)
         report("download", "ok")
@@ -166,22 +194,22 @@ def main(argv=None) -> int:
         steps.step_build_db(cfg)
         report("build-db", "ok")
     if stage in ("qa", "all"):
-        report("qa", steps.step_qa(cfg))
+        run_or_skip("qa", lambda: steps.step_qa(cfg))
     if stage in ("homog", "all"):
-        report("homog", steps.step_homog(
+        run_or_skip("homog", lambda: steps.step_homog(
             cfg, station_history_path=args.station_history))
     if stage in ("infill", "all"):
-        report("infill", steps.step_infill(cfg))
+        run_or_skip("infill", lambda: steps.step_infill(cfg))
     if stage in ("krig-params", "all"):
-        report("krig-params", steps.step_krig_params(cfg))
+        run_or_skip("krig-params", lambda: steps.step_krig_params(cfg))
     _cands = (
         tuple(int(x) for x in args.k_candidates.split(","))
         if args.k_candidates else (8, 16, 24, 32, 48)
     )
     if stage == "all" and args.optim_nnghs:
-        report("optim-nnghs",
-               steps.step_optim_nnghs(cfg, candidates=_cands,
-                                      regions_path=args.regions))
+        run_or_skip("optim-nnghs",
+                    lambda: steps.step_optim_nnghs(cfg, candidates=_cands,
+                                                   regions_path=args.regions))
     if stage in ("interp", "all"):
         from topotpu.dist.multihost import init_multihost
 

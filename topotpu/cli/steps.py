@@ -19,6 +19,7 @@ batched jits; these functions are plain single-process host orchestration.
 
 from __future__ import annotations
 
+import json
 import pathlib
 
 import numpy as np
@@ -47,6 +48,79 @@ def _paths(cfg: TopoConfig) -> dict[str, pathlib.Path]:
 
 def _days(cfg: TopoConfig):
     return get_days_metadata(cfg.start_date, cfg.end_date)
+
+
+def stage_resume_status(cfg: TopoConfig, nrows: int, ncols: int,
+                        n_stations: int, seed: int) -> dict[str, bool]:
+    """Which `all`-pipeline stages already have their output artifact on
+    disk. The artifact chain IS the checkpoint (SURVEY §5 failure/restart):
+    every stage writes one atomic artifact, so presence == completion —
+    except the two stages that mutate a file in place, which carry explicit
+    completion marks (qa: ``qa_complete`` root attr on all_obs.h5;
+    krig-params: the VARIO_* station attrs it adds to the serial DBs).
+
+    synth-data is special: skipping it is only sound when the world on
+    disk is the world being requested, so it records an identity sidecar
+    (synth_meta.json) and a MISMATCH raises — silently regenerating would
+    orphan every downstream artifact, and silently keeping the old world
+    would not be what the user asked for. ``--redo`` bypasses everything.
+
+    The caller (cli.main, `all` stage) applies these with a cascade: a
+    stage may only skip while every upstream stage also skipped, because a
+    re-run stage rewrites its artifact and invalidates what follows.
+    """
+    import h5py
+
+    p = _paths(cfg)
+    st: dict[str, bool] = {}
+
+    meta_path = p["root"] / "synth_meta.json"
+    synth_ok = (p["rasters"].exists() and p["all_obs"].exists()
+                and meta_path.exists())
+    if synth_ok:
+        meta = json.loads(meta_path.read_text())
+        want = {"nrows": int(nrows), "ncols": int(ncols),
+                "n_stations": int(n_stations), "seed": int(seed)}
+        have = {k: meta.get(k) for k in want}
+        if have != want:
+            raise ValueError(
+                f"data_dir {p['root']} holds a different synthetic world "
+                f"({have}) than requested ({want}); pass --redo to "
+                "regenerate everything, or use a fresh --data-dir"
+            )
+    st["synth-data"] = synth_ok
+
+    def _h5_mark(path, attr):
+        if not path.exists():
+            return False
+        try:
+            with h5py.File(path, "r") as f:
+                return bool(f.attrs.get(attr, 0))
+        except OSError:
+            return False  # unreadable/corrupt -> re-run the stage
+
+    def _has_vario(path):
+        if not path.exists():
+            return False
+        try:
+            with h5py.File(path, "r") as f:
+                return C.VARIO_NUG in f["stn"]
+        except OSError:
+            return False
+
+    st["qa"] = _h5_mark(p["all_obs"], "qa_complete")
+    st["homog"] = p["homog"].exists()
+    st["infill"] = all(
+        p[f"serial_{v}"].exists() for v in (C.TMIN, C.TMAX)
+    )
+    st["krig-params"] = all(
+        _has_vario(p[f"serial_{v}"]) for v in (C.TMIN, C.TMAX)
+    )
+    st["optim-nnghs"] = (p["root"] / "nnghs.h5").exists()
+    # interp self-resumes from per-chunk tile manifests (completed tiles
+    # skip inside the engine); mosaic finalization and validate are cheap
+    # and are the point of re-running — never skipped here.
+    return st
 
 
 # ------------------------------------------------------------ stage: data
@@ -90,6 +164,15 @@ def step_synth_data(cfg: TopoConfig, nrows=96, ncols=96, n_stations=250,
         db.set_obs(C.TMIN, tmin)
         db.set_obs(C.TMAX, tmax)
     os.replace(tmp, p["all_obs"])  # artifact rule: tmp+rename
+    # resume identity sidecar: `all` skips this stage on re-run only when
+    # the requested world matches what is on disk (stage_resume_status)
+    meta = {"nrows": int(nrows), "ncols": int(ncols),
+            "n_stations": int(n_stations), "seed": int(seed),
+            "ocean_frac": float(ocean_frac),
+            "missing_frac": float(missing_frac)}
+    mtmp = p["root"] / "synth_meta.json.tmp"
+    mtmp.write_text(json.dumps(meta))
+    os.replace(mtmp, p["root"] / "synth_meta.json")
 
 
 def step_download(cfg: TopoConfig, opener=None) -> None:
@@ -189,6 +272,10 @@ def step_qa(cfg: TopoConfig, spatial: bool = True) -> dict:
                 }
                 for i in np.flatnonzero(loc["probe"] != None)  # noqa: E711
             }
+        # completion mark for stage-level resume: qa mutates all_obs.h5 in
+        # place (no separate artifact), so presence of the file alone can't
+        # prove the stage ran; a re-generated all_obs.h5 clears the mark
+        db._f.attrs["qa_complete"] = np.uint8(1)
     out.update(
         flag_rate_tmin=float((ft != C.QA_OK).mean()),
         flag_rate_tmax=float((fx != C.QA_OK).mean()),
