@@ -17,7 +17,11 @@ Stages (in pipeline order):
     mosaic       merge tiles -> mosaic_{var}.h5
     validate     output integrity / coverage report
     validate-f64 re-run sample tiles at float64 on CPU, report f32 error
-    all          synth-data .. validate in sequence
+    all          synth-data .. validate in sequence; RELAUNCH-SAFE: stages
+                 whose output artifact is complete are skipped (the artifact
+                 chain is the checkpoint, SURVEY §5), interp additionally
+                 resumes tile-by-tile from its manifests; --redo forces a
+                 full re-run
     xval-interp  leave-one-station-out normals scores
     xval-infill  hold-out infill scores
 """
