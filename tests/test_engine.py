@@ -147,3 +147,75 @@ def test_engine_separate_variables(tmp_path, setup):
     # a second variable is independent work
     assert eng.run("tmax", stations, progress=False) == 4
     assert (out / "tmax_tile00003.h5").exists()
+
+
+# ---------------------------------------------------------- stall watchdog
+
+
+def _bare_engine(stall_s: int) -> TileEngine:
+    """A pipeline-only engine (no world/files): _pipelined touches just
+    PIPELINE_DEPTH (class attr), config.stall_timeout_s, and _on_stall."""
+    import dataclasses
+
+    eng = TileEngine.__new__(TileEngine)
+    eng.config = dataclasses.replace(TopoConfig(), stall_timeout_s=stall_s)
+    return eng
+
+
+class _Status:
+    def tick(self):
+        pass
+
+
+def test_stall_watchdog_fires_on_wedged_pipeline():
+    """The lost-RPC tunnel stall blocks a pipeline stage FOREVER without an
+    exception (failure detection, SURVEY §5): the watchdog must notice zero
+    progress past stall_timeout_s and invoke _on_stall exactly once (the
+    production action exits 75; tests inject an unblocking recorder)."""
+    import threading
+    import time as _t
+
+    eng = _bare_engine(stall_s=1)
+    unblock = threading.Event()
+    fired: list[float] = []
+
+    def on_stall(idle):
+        fired.append(idle)
+        unblock.set()  # release the wedge so the test run drains
+
+    eng._on_stall = on_stall
+
+    def step(spec):
+        return spec, {"v": np.zeros(2)}
+
+    def write(spec, host):
+        if not fired:
+            assert unblock.wait(30), "watchdog never fired"
+
+    t0 = _t.monotonic()
+    n = eng._pipelined([0], step, write, _Status())
+    assert n == 1
+    assert len(fired) == 1
+    # fired only after a genuine idle window past the timeout
+    assert fired[0] >= 1.0
+    assert _t.monotonic() - t0 >= 1.0
+
+
+def test_stall_watchdog_quiet_while_progressing():
+    """Slow-but-moving pipelines must never trip the watchdog: total wall
+    exceeds stall_timeout_s several times over, but every tile completes
+    within it."""
+    import time as _t
+
+    eng = _bare_engine(stall_s=2)
+    fired: list[float] = []
+    eng._on_stall = lambda idle: fired.append(idle)
+
+    def step(spec):
+        return spec, {"v": np.zeros(2)}
+
+    def write(spec, host):
+        _t.sleep(0.5)
+
+    n = eng._pipelined(list(range(10)), step, write, _Status())
+    assert n == 10 and not fired  # 5 s of wall, zero false positives

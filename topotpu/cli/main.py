@@ -136,6 +136,13 @@ def main(argv=None) -> int:
     ap.add_argument("--k-candidates", default=None,
                     help="optim-nnghs: comma-separated neighborhood sizes "
                          "to sweep (default 8,16,24,32,48)")
+    ap.add_argument("--stall-timeout", type=int, default=None,
+                    help="interp/all: seconds of zero tile-pipeline progress "
+                         "after which the engine exits 75 (EX_TEMPFAIL) — "
+                         "failure detection for the lost-RPC tunnel stall; "
+                         "relaunch the same command to resume. Must exceed "
+                         "the worst first-compile wall (~900 s measured). "
+                         "Overrides config stall_timeout_s; 0 disables")
     ap.add_argument("--redo", action="store_true",
                     help="all: re-run every stage even when its output "
                          "artifact already exists (default: resume — skip "
@@ -144,10 +151,15 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     cfg = _load_config(args.config)
-    if args.data_dir:
+    if args.data_dir or args.stall_timeout is not None:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, data_dir=args.data_dir)
+        over = {}
+        if args.data_dir:
+            over["data_dir"] = args.data_dir
+        if args.stall_timeout is not None:
+            over["stall_timeout_s"] = args.stall_timeout
+        cfg = dataclasses.replace(cfg, **over)
 
     from topotpu.cli import steps
 

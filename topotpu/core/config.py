@@ -104,6 +104,16 @@ class TopoConfig:
     # validate: fraction of land tiles the fast (streamed-stats) validate
     # re-reads from disk as an independent spot check; --deep scans all.
     validate_sample_frac: float = 0.1
+    # Failure detection (SURVEY §5): seconds of zero tile-pipeline progress
+    # after which the engine declares the run wedged (the tunneled-TPU
+    # container loses an in-flight RPC without erroring — the process then
+    # blocks forever in an uncancellable device_get) and exits hard with
+    # code 75 (EX_TEMPFAIL) so a wrapper loop can relaunch; stage-level +
+    # tile-manifest resume make the relaunch cheap. 0 = disabled. Must
+    # comfortably exceed the worst first-compile wall (remote compiles of
+    # the big paired program have measured up to ~13 min on this relay) —
+    # there are no progress events while the first tile compiles.
+    stall_timeout_s: int = 0
     # Run-global int16 pack window for daily values and normals, in C.
     # Physical-extreme margins (world records are approx -89/+57 C): the
     # 160 C span quantizes at 160/65500 ~= 2.4e-3 C — half-step error

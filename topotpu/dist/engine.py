@@ -802,7 +802,22 @@ class TileEngine:
 
         A stage failure aborts the run: upstream stops, queued work is
         discarded (those tiles stay pending in the manifest for a resume),
-        and the first exception re-raises here."""
+        and the first exception re-raises here.
+
+        Failure detection (config.stall_timeout_s > 0): the tunneled-TPU
+        container can lose an in-flight device RPC without EVER erroring —
+        the fetch thread then blocks forever inside an uncancellable
+        ``jax.device_get`` (observed repeatedly on this relay: log silent,
+        all threads in futex/wait_woken). No exception means the error path
+        above never fires, so a daemon watchdog tracks the last pipeline
+        progress event (a dispatch returning, a fetch landing, a write
+        completing) and calls ``_on_stall`` once nothing has moved for the
+        timeout. The default action hard-exits 75 (EX_TEMPFAIL): the RPC
+        cannot be cancelled and the backend is wedged, so a clean in-process
+        recovery is impossible by construction — the manifest (saved per
+        completed tile) plus stage-level resume make `relaunch the same
+        command` the cheap, correct recovery, and a distinct exit code lets
+        a wrapper loop do that unattended."""
         import queue
         import threading
 
@@ -810,6 +825,8 @@ class TileEngine:
         q_write: queue.Queue = queue.Queue(maxsize=self.PIPELINE_DEPTH)
         n_done = 0
         errs: list[BaseException] = []
+        progress_t = [time.monotonic()]  # single-writer-per-slot, GIL-atomic
+        finished = threading.Event()
 
         def fetcher():
             while True:
@@ -821,7 +838,9 @@ class TileEngine:
                     continue  # drain so upstream put() unblocks
                 spec, fut = item
                 try:
-                    q_write.put((spec, jax.device_get(fut)))
+                    host = jax.device_get(fut)
+                    progress_t[0] = time.monotonic()
+                    q_write.put((spec, host))
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     errs.append(e)
 
@@ -837,14 +856,29 @@ class TileEngine:
                 try:
                     write(spec, host)
                     n_done += 1
+                    progress_t[0] = time.monotonic()
                     status.tick()
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     errs.append(e)
+
+        stall_s = int(getattr(self.config, "stall_timeout_s", 0) or 0)
+
+        def watchdog():
+            poll = max(1.0, min(15.0, stall_s / 4.0))
+            while not finished.wait(poll):
+                idle = time.monotonic() - progress_t[0]
+                if idle > stall_s:
+                    self._on_stall(idle)
+                    return
 
         threads = [
             threading.Thread(target=fetcher, name="tile-fetcher"),
             threading.Thread(target=writer, name="tile-writer"),
         ]
+        if stall_s > 0:
+            threads.append(threading.Thread(
+                target=watchdog, name="tile-watchdog", daemon=True
+            ))
         for t in threads:
             t.start()
         try:
@@ -852,13 +886,40 @@ class TileEngine:
                 if errs:
                     break
                 q_fetch.put(step(spec))
+                progress_t[0] = time.monotonic()  # dispatch (incl compile)
         finally:
             q_fetch.put(None)
+            # join the workers FIRST: a wedged fetch thread blocks this join
+            # forever, and that is exactly the window the watchdog guards —
+            # only signal it once the pipeline has genuinely drained
             for t in threads:
+                if t.daemon:
+                    continue  # the watchdog exits via the event below
                 t.join()
+            finished.set()
         if errs:
             raise errs[0]
         return n_done
+
+    def _on_stall(self, idle_s: float) -> None:
+        """Watchdog action (injectable for tests): the wedged RPC cannot be
+        cancelled, so print a loud diagnosis and exit 75 (EX_TEMPFAIL) —
+        the manifest keeps every completed tile and a relaunch of the same
+        command resumes (stage-level skip + per-tile manifest skip)."""
+        import os
+        import sys
+
+        print(
+            f"[engine] FATAL: no tile-pipeline progress for {idle_s:.0f}s "
+            f"(> stall_timeout_s={self.config.stall_timeout_s}) — an "
+            "in-flight device RPC was lost (known tunnel-stall mode; the "
+            "blocked device_get never errors). Exiting 75 so a wrapper can "
+            "relaunch; the manifest resume makes the relaunch cheap.",
+            flush=True,
+        )
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(75)
 
     # ------------------------------------------------------- production run
     def run_production(
