@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--bar-daily", type=float, default=1.2,
                     help="per-slice daily MAE bar, C (paper daily x-val "
                          "band is 1.2-2.0)")
+    ap.add_argument("--bar-z", type=float, default=3.0,
+                    help="SE-calibration band: per-month std of "
+                         "(normal error / kriging se) must lie in "
+                         "[1/bar, bar] (1.0 = perfectly calibrated)")
     args = ap.parse_args()
 
     import h5py
@@ -97,7 +101,7 @@ def main():
             print(json.dumps({"var": var, "status": "missing mosaic"}))
             failed = True
             continue
-        norm_mae, norm_bias = [], []
+        norm_mae, norm_bias, z_std = [], [], []
         with h5py.File(path) as f:
             for m in range(12):
                 plane = f["normal"][m]  # (R, C) f32
@@ -109,6 +113,14 @@ def main():
                 fin = np.isfinite(d)
                 norm_mae.append(float(np.abs(d[fin]).mean()))
                 norm_bias.append(float(d[fin].mean()))
+                # SE calibration: z = error / reported kriging se should be
+                # O(1)-scaled if the variogram-derived variance is honest
+                # (std(z) ~ 1 for exactly-calibrated Gaussian errors; the
+                # pipeline's month-mean synoptic term and the f32 chain make
+                # a within-factor-~bar_z band the meaningful check)
+                se = f["se"][m][rr, cc]
+                okz = fin & np.isfinite(se) & (se > 0)
+                z_std.append(float(np.std(d[okz] / se[okz])))
             daily = {}
             dset = f[var]
             for t in day_picks:
@@ -127,7 +139,9 @@ def main():
                 }
         worst_m = max(norm_mae)
         worst_d = max(v["mae"] for v in daily.values())
-        ok = worst_m <= args.bar_normal and worst_d <= args.bar_daily
+        worst_z = max(z_std)
+        ok = (worst_m <= args.bar_normal and worst_d <= args.bar_daily
+              and worst_z <= args.bar_z and min(z_std) >= 1.0 / args.bar_z)
         failed |= not ok
         print(json.dumps({
             "var": var,
@@ -136,9 +150,11 @@ def main():
             "normals_mae_by_month": [round(x, 4) for x in norm_mae],
             "normals_worst_month_mae": round(worst_m, 4),
             "normals_mean_bias": round(float(np.mean(norm_bias)), 4),
+            "se_z_std_by_month": [round(x, 3) for x in z_std],
             "daily_slices": daily,
             "daily_worst_mae": round(worst_d, 4),
-            "bars": {"normal": args.bar_normal, "daily": args.bar_daily},
+            "bars": {"normal": args.bar_normal, "daily": args.bar_daily,
+                     "z": args.bar_z},
         }), flush=True)
     sys.exit(1 if failed else 0)
 

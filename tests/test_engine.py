@@ -219,3 +219,34 @@ def test_stall_watchdog_quiet_while_progressing():
 
     n = eng._pipelined(list(range(10)), step, write, _Status())
     assert n == 10 and not fired  # 5 s of wall, zero false positives
+
+
+# ------------------------------------------------- station-pool cap guard
+
+
+def test_pool_cap_dropping_in_tile_stations_warns(tmp_path, setup, capsys):
+    """max_tile_stations keeps the nearest-to-tile-CENTER stations, so a cap
+    below a tile's own station count strips edge cells of their local
+    neighborhoods — silent accuracy loss (measured 0.22 -> 0.94 C normals
+    MAE on a 10k-station probe grid). The engine must count and WARN when
+    the cap drops stations located inside a tile; a cap that only sheds
+    margin stations stays quiet."""
+    import dataclasses
+
+    world, days, rasters, stations = setup
+    # one tile spanning the whole 48x48 world, cap far below the 120
+    # stations that live inside it
+    cfg = dataclasses.replace(
+        _config(), tile_rows=48, tile_cols=48,
+        interp=InterpParams(k_neighbors=16, max_tile_stations=32),
+    )
+    eng = TileEngine(cfg, rasters, days, tmp_path / "out")
+    assert eng.run("tmin", stations, progress=False) == 1
+    assert eng.pool_in_tile_dropped > 0
+    assert "drops" in capsys.readouterr().out
+
+    # ample cap: nothing dropped, no warning
+    eng2 = TileEngine(_config(), rasters, days, tmp_path / "out2")
+    assert eng2.run("tmin", stations, progress=False) == 4
+    assert eng2.pool_in_tile_dropped == 0
+    assert "WARNING" not in capsys.readouterr().out

@@ -117,6 +117,12 @@ class TileEngine:
                     f"Taylor-asin validity window ({ASIN_VALID_KM:.0f} km); "
                     "shrink tiles/margin or set interp.use_pallas='off'"
                 )
+        # station-pool cap accounting (see _tile_task): total in-tile
+        # stations dropped by max_tile_stations across the run — nonzero
+        # means silent accuracy loss at tile edges; surfaced once as a
+        # warning and queryable by drivers/tests
+        self.pool_in_tile_dropped = 0
+        self._pool_cap_warned = False
         # multi-host: each process owns a strided tile subset and its own
         # manifest file (single-writer by disjointness; merged at mosaic)
         self.ctx = ctx or MultihostContext()
@@ -555,7 +561,39 @@ class TileEngine:
         cap = self.config.interp.max_tile_stations
         if len(cand) > cap:
             d2 = (stations.lon[cand] - lon_c) ** 2 + (stations.lat[cand] - lat_c) ** 2
-            cand = cand[np.argsort(d2)[:cap]]
+            kept = cand[np.argsort(d2)[:cap]]
+            # Accuracy guard: the cap keeps the NEAREST-TO-TILE-CENTER
+            # stations, so a cap smaller than the tile's own station count
+            # silently strips edge cells of their local neighborhoods —
+            # measured on a 10k-station probe grid (one whole-domain tile,
+            # cap 512): normals MAE 0.22 -> 0.94 C, daily tmax up to 9.9 C.
+            # Dropping an IN-TILE station is the tell (margin stations are
+            # legitimately expendable in dense networks).
+            lat_ilo = g.lat0 - (spec.row0 + spec.nrows) * g.cellsize
+            lat_ihi = g.lat0 - spec.row0 * g.cellsize
+            lon_ilo = g.lon0 + spec.col0 * g.cellsize
+            lon_ihi = g.lon0 + (spec.col0 + spec.ncols) * g.cellsize
+            in_tile = (
+                (stations.lat >= lat_ilo) & (stations.lat <= lat_ihi)
+                & (stations.lon >= lon_ilo) & (stations.lon <= lon_ihi)
+            )
+            n_dropped = int(in_tile[cand].sum()) - int(in_tile[kept].sum())
+            if n_dropped > 0:
+                self.pool_in_tile_dropped += n_dropped
+                if not self._pool_cap_warned:
+                    self._pool_cap_warned = True
+                    print(
+                        f"[engine] WARNING: tile {spec.tile_id}: station-pool "
+                        f"cap max_tile_stations={cap} drops {n_dropped} "
+                        f"stations located INSIDE the tile (of "
+                        f"{int(in_tile[cand].sum())} in-tile, {len(cand)} "
+                        "candidates) — edge cells lose their local "
+                        "neighborhoods and accuracy degrades silently. Use "
+                        "smaller tiles or raise interp.max_tile_stations "
+                        "above the densest tile's station count.",
+                        flush=True,
+                    )
+            cand = kept
         S = cap
         pool = np.zeros(S, np.int64)
         pool[: len(cand)] = cand
