@@ -266,8 +266,6 @@ def main(argv=None) -> int:
     if stage == "xval-daily":
         report("xval-daily", steps.step_xval_daily(cfg))
     if stage == "xval-infill":
-        import numpy as np
-
         from topotpu.core import constants as C
         from topotpu.cli.steps import _paths, _days
         from topotpu.interp.xval import xval_infill
@@ -276,12 +274,16 @@ def main(argv=None) -> int:
         p = _paths(cfg)
         days = _days(cfg)
         src = p["homog"] if p["homog"].exists() else p["all_obs"]
+        # per-variable, like the reference's per-variable mpi_xval jobs
+        out = {}
         with StationDB(src) as db:
-            out = xval_infill(
-                db.obs(C.TMIN), days.month_idx, cfg.ppca,
-                stn_lon=db.stn(C.LON), stn_lat=db.stn(C.LAT),
-            )
-        out.pop("result")
+            for var in (C.TMIN, C.TMAX):
+                r = xval_infill(
+                    db.obs(var), days.month_idx, cfg.ppca,
+                    stn_lon=db.stn(C.LON), stn_lat=db.stn(C.LAT),
+                )
+                r.pop("result")
+                out[var] = r
         report("xval-infill", out)
     return 0
 
