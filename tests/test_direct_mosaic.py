@@ -579,3 +579,51 @@ def test_streamed_validate_exact_cross_chunk_coverage(tmp_path, setup,
     assert fast["tmin"]["daily_coverage"] == expect
     assert deep["tmin"]["daily_coverage"] == expect
     assert fast["tmax"]["daily_coverage"] == 1.0
+
+
+def test_fletcher32_bit_rot_raises_on_read(tmp_path, setup):
+    """Product datasets carry per-chunk fletcher32 checksums (KNOWN_GAPS #7
+    remainder): bytes rotted ON DISK after the streamed write-verification
+    must raise at ANY read — h5py directly, the fast validate's disk
+    sample, and --deep — never decode to silently wrong temperatures.
+    Legitimate in-place rewrites (resume) recompute checksums and stay
+    readable."""
+    import h5py
+
+    from topotpu.cli.steps import step_validate
+
+    world, days, rasters, a, b = setup
+    cfg = _config()
+    d = tmp_path / "rot"
+    eng = _direct_engine(cfg, rasters, days, d)
+    eng.run_pair("tmin", "tmax", a, b, progress=False)
+    rasters.save(d / "rasters.h5")
+    mp = d / "mosaic_tmin.h5"
+
+    with h5py.File(mp) as f:
+        assert f["tmin"].fletcher32 and f["normal"].fletcher32
+        # a legit engine rewrite already happened tile-by-tile above and
+        # the full product reads back clean through the checksum filter
+        assert f["tmin"][...].shape[0] == days.ndays
+        info = f["tmin"].id.get_chunk_info(0)
+        assert info.size > 0
+
+    # rot: flip one byte of the chunk's payload behind HDF5's back
+    with open(mp, "r+b") as raw:
+        raw.seek(info.byte_offset + info.size // 2)
+        byte = raw.read(1)
+        raw.seek(-1, 1)
+        raw.write(bytes([byte[0] ^ 0xFF]))
+
+    with h5py.File(mp) as f:
+        with pytest.raises(OSError):
+            f["tmin"][...]
+        # untouched datasets still read fine
+        f["normal"][...]
+
+    vcfg = dataclasses.replace(cfg, data_dir=str(d),
+                               validate_sample_frac=1.0)
+    with pytest.raises(RuntimeError, match="bit rot"):
+        step_validate(vcfg)  # fast path: sampled disk read hits the rot
+    with pytest.raises(RuntimeError, match="bit rot"):
+        step_validate(vcfg, deep=True)

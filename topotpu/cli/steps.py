@@ -19,6 +19,7 @@ batched jits; these functions are plain single-process host orchestration.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import pathlib
 
@@ -29,6 +30,30 @@ from topotpu.core.config import TopoConfig
 from topotpu.core.dates import get_days_metadata
 from topotpu.io.rasters import RasterStack
 from topotpu.io.stndb import StationDB, write_serial_db
+
+
+def _bit_rot_error(e: OSError) -> RuntimeError:
+    return RuntimeError(
+        "validate: HDF5 read of the mosaic failed mid-scan "
+        f"({e}) — a fletcher32 chunk-checksum mismatch means the bytes "
+        "on disk no longer match what the writer verified (bit rot or "
+        "an external overwrite); rerun interp for the affected tiles "
+        "(manifest resume rewrites them in place)"
+    )
+
+
+@contextlib.contextmanager
+def _raise_bit_rot():
+    """Translate an HDF5 read failure into the actionable verdict it means.
+
+    Product datasets are written with per-chunk fletcher32 checksums
+    (io/ncdf.py), so the dominant cause of an OSError while reading a
+    mosaic that opened fine is a checksum mismatch = on-disk bit rot.
+    """
+    try:
+        yield
+    except OSError as e:
+        raise _bit_rot_error(e) from e
 
 
 def _paths(cfg: TopoConfig) -> dict[str, pathlib.Path]:
@@ -716,11 +741,11 @@ def step_aggregate(cfg: TopoConfig) -> dict:
                 dt = np.int16 if packed else np.float32
                 mo = g.create_dataset(
                     "monthly", (nm, R, Cc), dtype=dt,
-                    chunks=(1, min(256, R), min(256, Cc)),
+                    chunks=(1, min(256, R), min(256, Cc)), fletcher32=True,
                 )
                 an = g.create_dataset(
                     "annual", (ny, R, Cc), dtype=dt,
-                    chunks=(1, min(256, R), min(256, Cc)),
+                    chunks=(1, min(256, R), min(256, Cc)), fletcher32=True,
                 )
                 for v in (mo, an):
                     v.attrs["units"] = "C"
@@ -958,7 +983,7 @@ def _validate_streamed(cfg: TopoConfig, p, rasters) -> dict | None:
     deep_checked = 0
     with h5py.File(p[f"mosaic_{C.TMIN}"], "r") as fn, h5py.File(
         p[f"mosaic_{C.TMAX}"], "r"
-    ) as fx:
+    ) as fx, _raise_bit_rot():
         files = {C.TMIN: fn, C.TMAX: fx}
         for ts in sampled:
             sl = (slice(ts.row0, ts.row0 + ts.nrows),
@@ -1140,6 +1165,8 @@ def step_validate(cfg: TopoConfig, deep: bool = False) -> dict:
                 "violations": n_viol,
                 "rate": (n_viol / n_total) if n_total else 0.0,
             }
+    except OSError as e:
+        raise _bit_rot_error(e) from e
     finally:
         for f in files.values():
             f.close()
@@ -1798,14 +1825,19 @@ def step_mosaic(cfg: TopoConfig) -> dict:
             g_off = 0.5 * (hi + lo)
 
         with h5py.File(tmp, "w") as f:
+            # fletcher32: bit rot raises at read (io/ncdf.py rationale)
             normal = f.create_dataset("normal", (12, R, Cc), np.float32,
-                                      fillvalue=np.nan)
+                                      fillvalue=np.nan, fletcher32=True,
+                                      chunks=(12, min(cfg.tile_rows, R),
+                                              min(cfg.tile_cols, Cc)))
             se = f.create_dataset("se", (12, R, Cc), np.float32,
-                                  fillvalue=np.nan)
-            copts = (
-                dict(compression="gzip", compression_opts=cfg.output_compress)
-                if cfg.output_compress else {}
-            )
+                                  fillvalue=np.nan, fletcher32=True,
+                                  chunks=(12, min(cfg.tile_rows, R),
+                                          min(cfg.tile_cols, Cc)))
+            copts = dict(fletcher32=True)
+            if cfg.output_compress:
+                copts.update(compression="gzip",
+                             compression_opts=cfg.output_compress)
             if pack:
                 daily = f.create_dataset(
                     var, (days.ndays, R, Cc), np.int16, fillvalue=FILL_I16,

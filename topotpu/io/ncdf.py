@@ -99,10 +99,16 @@ class TileWriter:
         self._init_coords()
 
     def _copts(self):
+        # fletcher32: per-chunk checksums verified by HDF5 on EVERY read —
+        # on-disk bit rot raises at consumption time instead of decoding to
+        # silently wrong temperatures (KNOWN_GAPS #7: the sampled validate
+        # cannot visit every tile; this makes the unsampled ones fail loudly
+        # the moment anything reads them). Cost is a ~1 MB/chunk checksum
+        # pass, noise next to the ~40 MB/s container write path.
         if self.compress:
             return dict(compression="gzip", compression_opts=self.compress,
-                        shuffle=True)
-        return {}
+                        shuffle=True, fletcher32=True)
+        return dict(fletcher32=True)
 
     def _init_coords(self):
         _write_coords(self._f, self.subgrid, self.dates)
@@ -169,7 +175,8 @@ class TileWriter:
         """data: (12, nrows, ncols) float; NaN = masked."""
         f = self._f
         v = f.create_dataset(
-            name, data=np.where(np.isfinite(data), data, FILL_F32).astype(np.float32)
+            name, data=np.where(np.isfinite(data), data, FILL_F32).astype(np.float32),
+            fletcher32=True,
         )
         v.attrs["_FillValue"] = FILL_F32
         v.attrs["units"] = units
@@ -271,10 +278,13 @@ class MosaicWriter:
         self._f = h5py.File(self.path, "w")
         f = self._f
         _write_coords(f, grid, dates)
-        copts = (
-            dict(compression="gzip", compression_opts=compress)
-            if compress else {}
-        )
+        # fletcher32 chunk checksums: any read of a bit-rotted chunk raises
+        # (see TileWriter._copts). Writes recompute checksums, so in-place
+        # tile rewrites (resume / forced recompute) stay valid; a resumed
+        # pre-checksum mosaic keeps its original (unchecked) layout.
+        copts = dict(fletcher32=True)
+        if compress:
+            copts.update(compression="gzip", compression_opts=compress)
         for name, ln in (("normal", "monthly normal"),
                          ("se", "kriging standard error")):
             d = f.create_dataset(
@@ -370,7 +380,10 @@ def build_virtual_mosaic(
     land tile's region to its owning shard. HDF5 resolves the relative
     source file names against the master's directory, so the whole data_dir
     stays relocatable. Readers are unchanged: a VDS reads like any dataset
-    (unmapped ocean regions return the declared fillvalue).
+    (unmapped ocean regions return the declared fillvalue). A virtual
+    dataset cannot carry filters itself, but every read resolves to the
+    source shards' chunks, whose fletcher32 checksums ARE verified — bit
+    rot in a shard raises through the master too.
 
     All shards must be finalized (``complete``); raises otherwise. Returns
     {"n_tiles": total, "reconciled": all-shards-reconciled}.
