@@ -80,6 +80,54 @@ def test_exclude_self(rng):
     assert 7 not in np.asarray(nb.idx[0])[np.asarray(nb.mask[0])]
 
 
+def test_exclude_idx_matches_threshold_loo(rng):
+    """Identity-index LOO (cheap MXU cos branch) must select the same
+    neighborhoods as the legacy km-threshold LOO (exact-distance branch) —
+    the branch swap that removed the (S, S) exact-trig program from the
+    krig-params / x-val drivers must be a pure mechanism change."""
+    S, k = 120, 12
+    stn_lon = rng.uniform(-115, -95, S)
+    stn_lat = rng.uniform(32, 46, S)
+    valid = np.ones(S, bool)
+    valid[rng.integers(0, S, 10)] = False
+    old = select_neighbors(
+        stn_lon, stn_lat, stn_lon, stn_lat, valid, k=k, exclude_self_km=1e-3
+    )
+    new = select_neighbors(
+        stn_lon, stn_lat, stn_lon, stn_lat, valid, k=k,
+        exclude_idx=jnp.arange(S),
+    )
+    np.testing.assert_array_equal(np.asarray(old.mask), np.asarray(new.mask))
+    m = np.asarray(new.mask)
+    # same members in the same (distance-sorted) order: random CONUS-scale
+    # spacing is far above the f32 cos-score ordering fuzz
+    np.testing.assert_array_equal(
+        np.asarray(old.idx)[m], np.asarray(new.idx)[m]
+    )
+    np.testing.assert_allclose(
+        np.asarray(old.dist)[m], np.asarray(new.dist)[m], rtol=1e-5, atol=1e-3
+    )
+    # self never appears in its own neighborhood
+    assert not ((np.asarray(new.idx) == np.arange(S)[:, None]) & m).any()
+
+
+def test_exclude_idx_exact_branch(rng):
+    """exclude_idx composes with a precomputed exact distance matrix too."""
+    S, k = 40, 6
+    stn_lon = rng.uniform(-105, -100, S)
+    stn_lat = rng.uniform(38, 42, S)
+    valid = np.ones(S, bool)
+    dmat = pairwise_great_circle_km(stn_lon, stn_lat, stn_lon, stn_lat)
+    nb = select_neighbors(
+        stn_lon, stn_lat, stn_lon, stn_lat, valid, k=k,
+        dist_matrix=dmat, exclude_idx=jnp.arange(S),
+    )
+    idx = np.asarray(nb.idx)
+    mask = np.asarray(nb.mask)
+    assert mask.all()
+    assert not (idx == np.arange(S)[:, None]).any()
+
+
 def test_distance_weights_masked_zero(rng):
     dist = jnp.array([[0.0, 10.0, 50.0, 100.0]])
     mask = jnp.array([[True, True, True, False]])

@@ -46,6 +46,7 @@ def select_neighbors(
     exclude_self_km: float = 0.0,
     dist_matrix: jnp.ndarray | None = None,
     cos_matrix: jnp.ndarray | None = None,
+    exclude_idx: jnp.ndarray | None = None,
 ) -> Neighborhood:
     """k nearest valid stations for each cell.
 
@@ -55,12 +56,20 @@ def select_neighbors(
       stn_valid: (nstn,) bool — False for padding or monthly-invalid stations.
       k: neighborhood size (static).
       exclude_self_km: if > 0, stations within this distance of the query are
-        excluded — the leave-one-out mode used for cross-validation and for
-        the per-station variogram-parameter build (SURVEY.md §3.3 excludes the
-        target station from its own neighborhood).
+        excluded — a leave-one-out mode for queries that are NOT pool members
+        (needs the exact-distance branch; see exclude_idx for the cheap
+        identity form the LOO drivers use).
       dist_matrix: optional precomputed (C, S) distances — callers that
         select per-month neighborhoods from the same geometry (the tile
         facade) compute it once instead of 12 times.
+      exclude_idx: (ncells,) int — per-query station index excluded from its
+        own neighborhood. The leave-one-out mode used when the queries ARE
+        the station pool (cross-validation and the per-station
+        variogram-parameter build, SURVEY.md §3.3): identity is known by
+        index, so no metric resolution is needed and the cheap MXU cos
+        branch stays usable — the exact (S, S) trig program the km-threshold
+        form forces is the superlinear cost at 10^4 stations (RESULTS.md
+        config #7).
 
     Returns a Neighborhood with masked padding where fewer than k valid
     stations exist.
@@ -88,6 +97,11 @@ def select_neighbors(
             pb = unit_xyz(stn_lon, stn_lat)
             cos_matrix = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32)
         score = jnp.where(stn_valid[None, :], cos_matrix, -jnp.inf)
+        if exclude_idx is not None:  # identity-exclusion LOO (exact, cheap)
+            score = jnp.where(
+                jnp.arange(S)[None, :] == exclude_idx[:, None], -jnp.inf,
+                score,
+            )
         if score.shape[-1] < k:
             pad = jnp.full(score.shape[:-1] + (k - score.shape[-1],),
                            -jnp.inf, score.dtype)
@@ -109,6 +123,10 @@ def select_neighbors(
     d = jnp.where(stn_valid[None, :], d, _INF)
     if exclude_self_km > 0.0:
         d = jnp.where(d <= exclude_self_km, _INF, d)
+    if exclude_idx is not None:
+        d = jnp.where(
+            jnp.arange(d.shape[-1])[None, :] == exclude_idx[:, None], _INF, d
+        )
     if d.shape[-1] < k:  # pool smaller than k: pad with unreachable stations
         pad = jnp.full(d.shape[:-1] + (k - d.shape[-1],), _INF, d.dtype)
         d = jnp.concatenate([d, pad], axis=-1)

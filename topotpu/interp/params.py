@@ -64,8 +64,15 @@ def build_krig_params(
     @jax.jit
     def _one_month(lon, lat, elev, tdi, valid_m, lst_m, norm_m):
         xyz = unit_xyz(lon, lat)
+        # LOO by IDENTITY (queries == pool): keeps the cheap MXU cos-score
+        # branch instead of the exact (S, S) trig program — the measured
+        # superlinear term of this stage at 10^4 stations (RESULTS.md
+        # config #7: the relay-side recompile + runtime of the exact branch
+        # grew ~25x from 4k). Exact distances are still recomputed for the
+        # selected k below, so weights are unchanged.
         nbr = select_neighbors(
-            lon, lat, lon, lat, valid_m, k=k, exclude_self_km=1e-3,
+            lon, lat, lon, lat, valid_m, k=k,
+            exclude_idx=jnp.arange(lon.shape[0]),
         )
         take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
         w = distance_weights(nbr.dist, nbr.mask, iparams.weight_kernel)

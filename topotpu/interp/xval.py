@@ -63,9 +63,12 @@ def xval_interp_normals(
 
     @jax.jit  # jit per month: eager dispatch over a tunneled TPU pays an
     def _one_month(valid_m, lst_m, norm_m, vario_m):  # RPC per primitive
+        # LOO by identity index — keeps the MXU cos-selection branch (see
+        # interp/params.py; the station is excluded from its own
+        # neighborhood exactly, with no (S, S) exact-trig program)
         nbr = select_neighbors(
             lon, lat, lon, lat, valid_m, k=params.k_neighbors,
-            exclude_self_km=1e-3,
+            exclude_idx=jnp.arange(lon.shape[0]),
         )
         take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
         nbr_cov = jnp.stack([take(elev), take(tdi), take(lst_m)], axis=-1)
@@ -162,7 +165,7 @@ def xval_interp_daily(
     def _month(valid_m, lst_m, norm_m, vario_m, Y_m):
         nbr = select_neighbors(
             lon, lat, lon, lat, valid_m, k=params.k_neighbors,
-            exclude_self_km=1e-3,
+            exclude_idx=jnp.arange(lon.shape[0]),
         )
         take = lambda a: jnp.take(a, nbr.idx, axis=0)  # noqa: E731
         nbr_cov = jnp.stack([take(elev), take(tdi), take(lst_m)], axis=-1)

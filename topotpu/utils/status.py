@@ -20,8 +20,14 @@ class StatusCheck:
         every: int = 1,
         enabled: bool = True,
         items_per: int = 1,
-        out=sys.stderr,
+        out=None,
     ):
+        # out=None resolves sys.stderr AT PRINT TIME: a default bound at
+        # import time captures whatever stream sys.stderr happens to be when
+        # this module is first imported (under pytest's capsys that is a
+        # per-test buffer that gets CLOSED, and the next pipeline run dies
+        # with "I/O operation on closed file"; long-lived CLI processes that
+        # redirect stderr mid-run would hit the same staleness).
         self.total = total
         self.unit = unit
         self.every = every
@@ -43,7 +49,13 @@ class StatusCheck:
             if self.items_per > 1:
                 msg += f", {rate * self.items_per:,.0f} cells/s"
             msg += f", {dt:.1f}s elapsed)"
-            print(msg, file=self.out, flush=True)
+            out = self.out if self.out is not None else sys.stderr
+            try:
+                print(msg, file=out, flush=True)
+            except ValueError:
+                # a caller-supplied stream that has since been closed must
+                # not kill the pipeline over a progress line
+                pass
 
     @property
     def elapsed(self) -> float:
